@@ -1,0 +1,103 @@
+"""Contiguous multi-robot partitioning of a single-file pose graph.
+
+Replicates the reference dataset publisher's semantics
+(``src/PGODatasetPublisherNode.cpp:84-135``):
+
+* n poses are split into ``num_robots`` contiguous blocks of
+  ``n // num_robots`` poses; the last robot absorbs the remainder.
+* global pose id -> (robot, local frame) by block membership.
+* edges are classified: same robot & consecutive frames -> odometry;
+  same robot otherwise -> private loop closure; different robots -> shared
+  loop closure.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from dpgo_ros_tpu.io.g2o import read_g2o
+from dpgo_ros_tpu.types import EdgeType, MeasurementBatch, PoseGraphData
+
+
+def contiguous_partition(n: int, num_robots: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Return (robot_of_pose, local_frame_of_pose), each (n,).
+
+    Matches ``PGODatasetPublisherNode.cpp:84-103``: blocks of
+    ``n // num_robots``; robot num_robots-1 takes indices up to n.
+    """
+    if num_robots <= 0 or n < num_robots:
+        raise ValueError(
+            f"num_robots must be in [1, num_poses]; got {num_robots} for n={n}"
+        )
+    per = n // num_robots
+    gids = np.arange(n)
+    robot = np.minimum(gids // per, num_robots - 1).astype(np.int32)
+    start = (robot.astype(np.int64) * per).astype(np.int64)
+    local = (gids - start).astype(np.int32)
+    return robot, local
+
+
+def partition_measurements(
+    batch: MeasurementBatch, n: int, num_robots: int
+) -> MeasurementBatch:
+    """Re-index a global-ID measurement batch onto (robot, local frame) ids
+    and classify edge types per the reference rules."""
+    robot, local = contiguous_partition(n, num_robots)
+    src_robot = robot[batch.src_frame]
+    dst_robot = robot[batch.dst_frame]
+    src_frame = local[batch.src_frame]
+    dst_frame = local[batch.dst_frame]
+    same = src_robot == dst_robot
+    odo = same & (src_frame + 1 == dst_frame)
+    edge_type = np.where(
+        odo,
+        EdgeType.ODOMETRY,
+        np.where(same, EdgeType.PRIVATE_LOOP_CLOSURE, EdgeType.SHARED_LOOP_CLOSURE),
+    ).astype(np.int32)
+    out = MeasurementBatch(
+        src_robot=src_robot.astype(np.int32),
+        src_frame=src_frame,
+        dst_robot=dst_robot.astype(np.int32),
+        dst_frame=dst_frame,
+        R=batch.R,
+        t=batch.t,
+        kappa=batch.kappa,
+        tau=batch.tau,
+        weight=batch.weight,
+        # odometry edges are never reweighted by GNC (reference marks them
+        # fixedWeight=true, ``src/utils.cpp:141-149``)
+        fixed_weight=batch.fixed_weight | (edge_type == EdgeType.ODOMETRY),
+        edge_type=edge_type,
+    )
+    return out
+
+
+def partition_g2o(path: str, num_robots: int) -> PoseGraphData:
+    """Load a g2o file and partition it into a multi-robot PoseGraphData
+    (the reference dataset-publisher pipeline, ``PGODatasetPublisherNode.cpp:78-159``)."""
+    batch, n, vertices = read_g2o(path)
+    per = n // num_robots
+    robot, local = contiguous_partition(n, num_robots)
+    out = partition_measurements(batch, n, num_robots)
+    num_poses = np.array(
+        [per] * (num_robots - 1) + [n - per * (num_robots - 1)], np.int64
+    )
+    initial_guess: Optional[Dict[int, np.ndarray]] = None
+    if vertices is not None:
+        d = out.R.shape[-1] if len(out) else 3
+        initial_guess = {}
+        for r in range(num_robots):
+            nk = int(num_poses[r])
+            T = np.zeros((nk, d, d + 1))
+            T[:, :, :d] = np.eye(d)
+            initial_guess[r] = T
+        for gid, T in vertices.items():
+            initial_guess[int(robot[gid])][int(local[gid])] = T
+    return PoseGraphData(
+        measurements=out,
+        num_poses=num_poses,
+        d=int(out.R.shape[-1]) if len(out) else 3,
+        initial_guess=initial_guess,
+    )
