@@ -1,0 +1,129 @@
+"""LiftedProblem: static-shape device tensors for a multi-robot pose graph.
+
+The TPU-native analogue of DPGO's ``PoseGraph`` object (SURVEY.md §2.3):
+owns the edge tensors, pose-block offsets, and bookkeeping required by the
+solvers (numOdometry / numPrivateLoopClosures / numSharedLoopClosures,
+active-robot masking, GNC weight state). Unlike the reference — one
+``PoseGraph`` per robot process — this container holds the *fleet* problem
+with per-robot block structure, which is what an SPMD program wants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from dpgo_ros_tpu.ops.quadratic import EdgeSet
+from dpgo_ros_tpu.types import EdgeType, MeasurementBatch, PoseGraphData
+
+
+@dataclasses.dataclass
+class LiftedProblem:
+    """A multi-robot lifted PGO problem with flattened global pose indexing.
+
+    Pose (robot k, frame f) ↦ global index offsets[k] + f. The EdgeSet indices
+    use this flattening; ``robot_of_pose`` maps back.
+    """
+
+    edges: EdgeSet
+    n: int  # total poses
+    d: int
+    r: int
+    num_robots: int
+    offsets: np.ndarray  # (num_robots,) int64 — start of each block
+    num_poses: np.ndarray  # (num_robots,) int64
+    robot_of_pose: jnp.ndarray  # (n,) int32
+    data: Optional[PoseGraphData] = None
+
+    @staticmethod
+    def from_data(
+        data: PoseGraphData,
+        r: int = 5,
+        dtype=jnp.float64,
+        pad_edges_to: Optional[int] = None,
+    ) -> "LiftedProblem":
+        m = data.measurements
+        d = data.d
+        offsets = np.zeros((data.num_robots,), np.int64)
+        np.cumsum(data.num_poses[:-1], out=offsets[1:])
+        src = offsets[m.src_robot] + m.src_frame
+        dst = offsets[m.dst_robot] + m.dst_frame
+        E = len(m)
+        Epad = pad_edges_to or E
+        assert Epad >= E
+
+        def pad1(x, fill=0.0):
+            out = np.full((Epad,) + x.shape[1:], fill, dtype=x.dtype)
+            out[:E] = x
+            return out
+
+        is_loop = (m.edge_type != EdgeType.ODOMETRY) & (~m.fixed_weight)
+        edges = EdgeSet(
+            src=jnp.asarray(pad1(src.astype(np.int32))),
+            dst=jnp.asarray(pad1(dst.astype(np.int32))),
+            R=jnp.asarray(pad1(m.R), dtype),
+            t=jnp.asarray(pad1(m.t), dtype),
+            kappa=jnp.asarray(pad1(m.kappa), dtype),
+            tau=jnp.asarray(pad1(m.tau), dtype),
+            weight=jnp.asarray(pad1(m.weight), dtype),
+            mask=jnp.asarray(
+                np.concatenate([np.ones(E), np.zeros(Epad - E)]), dtype
+            ),
+            is_loop=jnp.asarray(pad1(is_loop.astype(np.float64)), dtype),
+        )
+        robot_of_pose = np.repeat(
+            np.arange(data.num_robots, dtype=np.int32), data.num_poses
+        )
+        return LiftedProblem(
+            edges=edges,
+            n=data.total_poses,
+            d=d,
+            r=r,
+            num_robots=data.num_robots,
+            offsets=offsets,
+            num_poses=np.asarray(data.num_poses, np.int64),
+            robot_of_pose=jnp.asarray(robot_of_pose),
+            data=data,
+        )
+
+    # --- bookkeeping parity with DPGO::PoseGraph (SURVEY.md §2.3) ---
+
+    def num_measurements(self) -> int:
+        return int(np.sum(np.asarray(self.edges.mask) > 0))
+
+    def counts_by_type(self) -> Tuple[int, int, int]:
+        assert self.data is not None
+        return self.data.counts_by_type()
+
+    def block_mask(self, robot_id: int, dtype=jnp.float64) -> jnp.ndarray:
+        """(n, 1, 1) mask selecting robot_id's pose block — the RBCD
+        'only my block moves' projector."""
+        m = (self.robot_of_pose == robot_id).astype(dtype)
+        return m[:, None, None]
+
+    def pose_block(self, X: jnp.ndarray, robot_id: int) -> jnp.ndarray:
+        o = int(self.offsets[robot_id])
+        return X[o : o + int(self.num_poses[robot_id])]
+
+    def global_trajectory(self, data: PoseGraphData) -> Optional[np.ndarray]:
+        """Stack per-robot initial-guess trajectories into (n, d, d+1)."""
+        if data.initial_guess is None:
+            return None
+        return np.concatenate(
+            [data.initial_guess[k] for k in range(data.num_robots)], axis=0
+        )
+
+    def separator_mask(self, dtype=jnp.float64) -> jnp.ndarray:
+        """(n,) mask of poses touched by inter-robot edges — the 'public
+        poses' the reference exchanges between robots (``msg/PublicPoses.msg``,
+        SURVEY.md §2.2). Used for communication-volume telemetry."""
+        src_r = self.robot_of_pose[self.edges.src]
+        dst_r = self.robot_of_pose[self.edges.dst]
+        shared = (src_r != dst_r) & (self.edges.mask > 0)
+        m = jnp.zeros((self.n,), dtype)
+        m = m.at[self.edges.src].max(shared.astype(dtype))
+        m = m.at[self.edges.dst].max(shared.astype(dtype))
+        return m

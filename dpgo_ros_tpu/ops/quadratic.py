@@ -1,0 +1,203 @@
+"""The lifted PGO quadratic form and its edge-parallel operators.
+
+This is the framework's hot path — the TPU-native replacement for the DPGO
+core's cached data matrices ("connection Laplacian", invalidated by
+``PoseGraph::clearDataMatrices`` on weight changes, reference
+``src/PGOAgentROS.cpp:1351``).
+
+The cost over lifted poses X ∈ (St(d,r) × R^r)^n is
+
+  f(X) = Σ_e w_e [ κ_e ||Y_j − Y_i R_e||_F² + τ_e ||p_j − p_i − Y_i t_e||² ]
+
+a homogeneous quadratic f(X) = <X, Q(X)> with Q a sparse PSD linear operator.
+We never materialize Q: every operator below is an edge-parallel
+gather → small-matmul → scatter-add pipeline with static shapes, which XLA
+fuses into a handful of kernels. Because f is quadratic, the Euclidean
+Hessian-vector product is the *same* linear map as the gradient:
+ehess(X)[V] = 2 Q(V) = apply_Q(V) * 2 — no autodiff or re-linearization
+needed inside the tCG loop.
+
+Padded edges (mask 0, src=dst=0) contribute exactly zero to every operator.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dpgo_ros_tpu.ops import stiefel
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class EdgeSet:
+    """Static-shape struct-of-arrays edge data (device-resident).
+
+    ``src``/``dst`` are *flattened global* pose indices (robot blocks
+    concatenated). ``weight`` is the robust (GNC) weight; ``mask`` zeroes
+    padding edges. ``is_loop`` marks non-odometry edges (eligible for GNC
+    reweighting — odometry is fixedWeight per reference ``utils.cpp:141-149``).
+    """
+
+    src: jnp.ndarray  # (E,) int32
+    dst: jnp.ndarray  # (E,) int32
+    R: jnp.ndarray  # (E, d, d)
+    t: jnp.ndarray  # (E, d)
+    kappa: jnp.ndarray  # (E,)
+    tau: jnp.ndarray  # (E,)
+    weight: jnp.ndarray  # (E,)
+    mask: jnp.ndarray  # (E,) 1.0 real / 0.0 padding
+    is_loop: jnp.ndarray  # (E,) 1.0 if GNC-adjustable loop closure
+
+    @property
+    def d(self) -> int:
+        return int(self.R.shape[-1])
+
+    @property
+    def num_edges(self) -> int:
+        return int(self.src.shape[0])
+
+    def effective_weights(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(κ_eff, τ_eff) = mask * weight * (κ, τ)."""
+        w = self.mask * self.weight
+        return w * self.kappa, w * self.tau
+
+
+def residuals(X: jnp.ndarray, e: EdgeSet) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-edge residuals r1 = Y_j − Y_i R_e (E, r, d), r2 = p_j − p_i − Y_i t_e (E, r)."""
+    d = e.d
+    Xi = X[e.src]  # (E, r, d+1)
+    Xj = X[e.dst]
+    Yi, pi = Xi[..., :d], Xi[..., d]
+    Yj, pj = Xj[..., :d], Xj[..., d]
+    r1 = Yj - jnp.einsum("erd,edk->erk", Yi, e.R)
+    r2 = pj - pi - jnp.einsum("erd,ed->er", Yi, e.t)
+    return r1, r2
+
+
+def cost(X: jnp.ndarray, e: EdgeSet) -> jnp.ndarray:
+    """f(X) — the global objective (reference's fOpt/fInit telemetry,
+    ``src/PGOAgentROS.cpp:166-172``)."""
+    r1, r2 = residuals(X, e)
+    kw, tw = e.effective_weights()
+    return jnp.sum(kw * jnp.sum(r1 * r1, axis=(-2, -1))) + jnp.sum(
+        tw * jnp.sum(r2 * r2, axis=-1)
+    )
+
+
+def egrad(X: jnp.ndarray, e: EdgeSet) -> jnp.ndarray:
+    """Euclidean gradient ∇f(X) = 2 Q(X), shape (n, r, d+1).
+
+    Linear in X — also serves as the Euclidean Hessian-vector product:
+    ehess[V] = egrad(V).
+    """
+    n, r, dp1 = X.shape
+    d = dp1 - 1
+    r1, r2 = residuals(X, e)
+    kw, tw = e.effective_weights()
+    kr1 = 2.0 * kw[:, None, None] * r1  # (E, r, d)
+    tr2 = 2.0 * tw[:, None] * r2  # (E, r)
+
+    # contributions to src pose i: -kr1 R^T - outer(tr2, t) on Y, -tr2 on p
+    gYi = -jnp.einsum("erk,edk->erd", kr1, e.R) - jnp.einsum(
+        "er,ed->erd", tr2, e.t
+    )
+    gpi = -tr2
+    gi = jnp.concatenate([gYi, gpi[..., None]], axis=-1)  # (E, r, d+1)
+    # contributions to dst pose j: +kr1 on Y, +tr2 on p
+    gj = jnp.concatenate([kr1, tr2[..., None]], axis=-1)
+
+    G = jnp.zeros_like(X)
+    G = G.at[e.src].add(gi)
+    G = G.at[e.dst].add(gj)
+    return G
+
+
+def apply_Q(V: jnp.ndarray, e: EdgeSet) -> jnp.ndarray:
+    """Q(V) = egrad(V) / 2 — the bare quadratic-form operator."""
+    return 0.5 * egrad(V, e)
+
+
+def rgrad(X: jnp.ndarray, e: EdgeSet, G: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Riemannian gradient: tangent projection of the Euclidean gradient."""
+    if G is None:
+        G = egrad(X, e)
+    return stiefel.proj_tangent(X, G)
+
+
+def rhess_vp(
+    X: jnp.ndarray, V: jnp.ndarray, e: EdgeSet, G: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Riemannian Hessian-vector product on (St(d,r) × R^r)^n.
+
+    Standard embedded-submanifold formula: for the Stiefel block,
+    Hess f[V]_Y = Proj( ehess[V]_Y − V_Y sym(Y^T egrad_Y) ); the Euclidean
+    translation block needs no correction. Used by the truncated-CG inner
+    loop of RTR (reference solver budget ``RTR_tCG_iterations``,
+    ``launch/dpgo_demo.launch:34``).
+    """
+    d = X.shape[-1] - 1
+    if G is None:
+        G = egrad(X, e)
+    EH = egrad(V, e)  # linearity: ehess[V] == egrad(V)
+    Y = X[..., :d]
+    GY = G[..., :d]
+    VY = V[..., :d]
+    S = stiefel.sym(jnp.einsum("nra,nrb->nab", Y, GY))
+    corr_Y = jnp.einsum("nra,nab->nrb", VY, S)
+    corr = jnp.concatenate(
+        [corr_Y, jnp.zeros_like(V[..., d:])], axis=-1
+    )
+    return stiefel.proj_tangent(X, EH - corr)
+
+
+def precond_blocks(e: EdgeSet, n: int, damping: float = 1e-2) -> jnp.ndarray:
+    """Per-pose (d+1)×(d+1) diagonal blocks of Q, damped.
+
+    For edge (i→j) with effective weights (κ, τ):
+      D_i += [[κ I + τ t tᵀ, τ t], [τ tᵀ, τ]]     (= A_i W A_iᵀ)
+      D_j += [[κ I, 0], [0, τ]]
+    This is the Jacobi-type preconditioner behind DPGO's
+    ``RGD_use_preconditioner`` (reference ``launch/PGOAgent.launch:18``).
+    """
+    d = e.d
+    kw, tw = e.effective_weights()
+    I = jnp.eye(d, dtype=e.R.dtype)
+    ttT = jnp.einsum("ea,eb->eab", e.t, e.t)
+    Dii = jnp.zeros((e.num_edges, d + 1, d + 1), e.R.dtype)
+    Dii = Dii.at[:, :d, :d].set(kw[:, None, None] * I + tw[:, None, None] * ttT)
+    Dii = Dii.at[:, :d, d].set(tw[:, None] * e.t)
+    Dii = Dii.at[:, d, :d].set(tw[:, None] * e.t)
+    Dii = Dii.at[:, d, d].set(tw)
+    Djj = jnp.zeros((e.num_edges, d + 1, d + 1), e.R.dtype)
+    Djj = Djj.at[:, :d, :d].set(kw[:, None, None] * I)
+    Djj = Djj.at[:, d, d].set(tw)
+
+    D = jnp.zeros((n, d + 1, d + 1), e.R.dtype)
+    D = D.at[e.src].add(Dii)
+    D = D.at[e.dst].add(Djj)
+    # damping keeps isolated/padded poses invertible and bounds conditioning
+    scale = jnp.maximum(
+        jnp.trace(D, axis1=-2, axis2=-1)[:, None, None] / (d + 1), 1.0
+    )
+    return D + damping * scale * jnp.eye(d + 1, dtype=e.R.dtype)
+
+
+def precond_solve(P: jnp.ndarray, V: jnp.ndarray) -> jnp.ndarray:
+    """Apply block-diagonal inverse: V_i ← V_i P_i^{-1}.
+
+    Row-vector convention: the quadratic is tr(Z Q Zᵀ), so the gradient rows
+    multiply P^{-1} on the right. P is (n, d+1, d+1) SPD; batched Cholesky
+    solve (tiny matrices — XLA keeps them on-chip).
+    """
+    L = jnp.linalg.cholesky(P)
+    # solve P x^T = v^T  for each row block: use triangular solves
+    Vt = jnp.swapaxes(V, -1, -2)  # (n, d+1, r)
+    Z = jax.scipy.linalg.solve_triangular(L, Vt, lower=True)
+    Xt = jax.scipy.linalg.solve_triangular(
+        jnp.swapaxes(L, -1, -2), Z, lower=False
+    )
+    return jnp.swapaxes(Xt, -1, -2)

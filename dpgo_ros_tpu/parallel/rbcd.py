@@ -1,0 +1,541 @@
+"""The multi-robot RBCD engine — the framework's core solver loop.
+
+This is the TPU-native re-design of the reference's distributed round
+structure (SURVEY.md §3.2): the event-driven FSM over lossy pub/sub becomes a
+deterministic schedule over jit-compiled block updates on a single global
+lifted state X. The three update rules:
+
+* ``Uniform`` / ``RoundRobin`` — sequential token passing, exactly the
+  reference's synchronous RBCD (``publishUpdateCommand``,
+  ``src/PGOAgentROS.cpp:443-504``): one robot optimizes its block per
+  iteration, everyone else only observes.
+* ``Parallel`` — the TPU-native generalization: every robot optimizes its own
+  block *simultaneously* against iteration-start separator poses (ASAPP with
+  delay 0; SURVEY.md §2.4 notes the sequential token is an artifact of lossy
+  robot networks, not of the math). Implemented as a vmap over block masks.
+
+Nesterov acceleration maintains the auxiliary sequence the reference
+exchanges as ``is_auxiliary`` PublicPoses (``src/PGOAgentROS.cpp:662-690``),
+with adaptive + periodic restart (``restart_interval``). GNC-TLS outer
+rounds mirror ``commandCallback(UPDATE_WEIGHT)`` (``PGOAgentROS.cpp:1211-1233``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dpgo_ros_tpu.models import robust
+from dpgo_ros_tpu.models.local_solvers import (
+    OptResult,
+    RGDParams,
+    RTRParams,
+    rgd_solve,
+    rtr_solve,
+)
+from dpgo_ros_tpu.models.problem import LiftedProblem
+from dpgo_ros_tpu.ops import chordal as chordal_ops
+from dpgo_ros_tpu.ops import lie, quadratic, rounding, stiefel
+from dpgo_ros_tpu.types import EdgeType
+from dpgo_ros_tpu.utils.config import (
+    AgentConfig,
+    InitMethod,
+    RobustCostType,
+    SolverMethod,
+    UpdateRule,
+)
+
+
+class RBCDState(NamedTuple):
+    """Device-resident solver state (a pytree; one per fleet)."""
+
+    X: jnp.ndarray  # (n, r, d+1) lifted iterate, global frame
+    X_prev: jnp.ndarray  # per-block previous accepted iterate (momentum)
+    theta: jnp.ndarray  # Nesterov scalar sequence
+    iteration: jnp.ndarray  # i32
+    cost: jnp.ndarray
+    rel_change: jnp.ndarray  # (num_robots,) last per-robot relative change
+    weights: jnp.ndarray  # (E,) current robust weights
+    fixed_mask: jnp.ndarray  # (E,) 1.0 where weight is frozen
+    mu: jnp.ndarray  # GNC mu
+    weight_update_count: jnp.ndarray  # i32
+
+
+class RBCDEngine:
+    """Owns a LiftedProblem + AgentConfig; exposes jitted step functions and
+    a host-side driver (`run`) implementing the reference round protocol."""
+
+    def __init__(self, problem: LiftedProblem, config: AgentConfig):
+        self.problem = problem
+        self.config = config.resolve()
+        self.dtype = jnp.float64 if self.config.dtype == "float64" else jnp.float32
+        cfg = self.config
+        self.rtr_params = RTRParams(
+            max_iterations=cfg.RTR_iterations,
+            max_tcg_iterations=cfg.RTR_tCG_iterations,
+            gradnorm_tol=cfg.RTR_gradnorm_tol,
+        )
+        self.rgd_params = RGDParams(
+            stepsize=cfg.RGD_stepsize,
+            use_preconditioner=cfg.RGD_use_preconditioner,
+        )
+        # (num_robots, n, 1, 1) stack of block masks for vmap'd parallel mode
+        masks = [
+            problem.block_mask(k, self.dtype)
+            for k in range(problem.num_robots)
+        ]
+        self._masks = jnp.stack(masks, axis=0)
+        self._all_mask = jnp.ones_like(self._masks[0])
+        self.Ylift: Optional[jnp.ndarray] = None
+
+        self._step_seq = jax.jit(self._step_sequential_impl)
+        self._step_par = jax.jit(self._step_parallel_impl)
+        self._weight_upd = jax.jit(self._weight_update_impl)
+
+    # ------------------------------------------------------------------ init
+
+    def _edges(self, weights: jnp.ndarray) -> quadratic.EdgeSet:
+        return dataclasses.replace(self.problem.edges, weight=weights)
+
+    def _local_subgraph_traj(self, robot: int) -> np.ndarray:
+        """Local initialization for one robot on its private subgraph
+        (odometry + private LCs), per ``localInitializationMethod``
+        (reference ``PGOAgentROSNode.cpp:104-117``)."""
+        prob, cfg = self.problem, self.config
+        data = prob.data
+        assert data is not None
+        m = data.measurements
+        nk = int(prob.num_poses[robot])
+        mine = (
+            (m.src_robot == robot)
+            & (m.dst_robot == robot)
+        )
+        if cfg.local_initialization_method == InitMethod.ODOMETRY:
+            odo = mine & (m.edge_type == EdgeType.ODOMETRY)
+            idx = np.argsort(m.src_frame[np.asarray(odo)])
+            R = m.R[np.asarray(odo)][idx]
+            t = m.t[np.asarray(odo)][idx]
+            frames = m.src_frame[np.asarray(odo)][idx]
+            rel = np.zeros((nk - 1, prob.d, prob.d + 1))
+            rel[:, :, : prob.d] = np.eye(prob.d)
+            for a, f in enumerate(frames):
+                if f < nk - 1:
+                    rel[f, :, : prob.d] = R[a]
+                    rel[f, :, prob.d] = t[a]
+            return np.asarray(lie.odometry_chain(jnp.asarray(rel, self.dtype)))
+        else:  # Chordal (GNC_TLS robust local init falls back to chordal
+            # with known-inlier weights; full robust local init comes with
+            # the GNC layer)
+            sel = np.asarray(mine)
+            E = int(sel.sum())
+            es = quadratic.EdgeSet(
+                src=jnp.asarray(m.src_frame[sel].astype(np.int32)),
+                dst=jnp.asarray(m.dst_frame[sel].astype(np.int32)),
+                R=jnp.asarray(m.R[sel], self.dtype),
+                t=jnp.asarray(m.t[sel], self.dtype),
+                kappa=jnp.asarray(m.kappa[sel], self.dtype),
+                tau=jnp.asarray(m.tau[sel], self.dtype),
+                weight=jnp.asarray(m.weight[sel], self.dtype),
+                mask=jnp.ones((E,), self.dtype),
+                is_loop=jnp.zeros((E,), self.dtype),
+            )
+            return np.asarray(
+                chordal_ops.chordal_initialization(es, nk, max_iters=500)
+            )
+
+    def _align_robot_frames(self, local_trajs: List[np.ndarray]) -> np.ndarray:
+        """Multi-robot initialization: BFS frame alignment over the robot
+        adjacency graph using shared measurements — the deterministic
+        equivalent of the reference's distributed initialization rounds
+        (``tryInitialize`` / ``initializeInGlobalFrame``,
+        ``src/PGOAgentROS.cpp:322-366``; leader = robot 0 anchors the global
+        frame)."""
+        prob = self.problem
+        data = prob.data
+        assert data is not None
+        m = data.measurements
+        nR = prob.num_robots
+        G: List[Optional[np.ndarray]] = [None] * nR
+        G[0] = np.concatenate(
+            [np.eye(prob.d), np.zeros((prob.d, 1))], axis=-1
+        )
+        shared = m.edge_type == EdgeType.SHARED_LOOP_CLOSURE
+        order = np.where(np.asarray(shared))[0]
+        # BFS over robots
+        frontier = [0]
+        visited = {0}
+        while frontier:
+            a = frontier.pop(0)
+            for k in order:
+                ra, rb = int(m.src_robot[k]), int(m.dst_robot[k])
+                if ra == a and rb not in visited:
+                    G[rb] = self._align_pair(G[a], local_trajs[a], local_trajs[rb], m, k, src_side=True)
+                    visited.add(rb)
+                    frontier.append(rb)
+                elif rb == a and ra not in visited:
+                    G[ra] = self._align_pair(G[a], local_trajs[a], local_trajs[ra], m, k, src_side=False)
+                    visited.add(ra)
+                    frontier.append(ra)
+        for rb in range(nR):
+            if G[rb] is None:  # disconnected robot: keep local frame
+                G[rb] = np.concatenate(
+                    [np.eye(prob.d), np.zeros((prob.d, 1))], axis=-1
+                )
+        out = []
+        for rb in range(nR):
+            Gk = jnp.asarray(G[rb], self.dtype)
+            Tk = jnp.asarray(local_trajs[rb], self.dtype)
+            out.append(
+                np.asarray(
+                    lie.se_compose(
+                        jnp.broadcast_to(Gk, Tk.shape[:1] + Gk.shape), Tk
+                    )
+                )
+            )
+        return np.concatenate(out, axis=0)
+
+    def _align_pair(self, Ga, traj_a, traj_b, m, k, src_side: bool):
+        """Frame of robot b from one shared edge k between a (known frame Ga)
+        and b: global constraint  G_a T_i M_e = G_b T_j."""
+        d = self.problem.d
+        Me = np.concatenate([m.R[k], m.t[k][:, None]], axis=-1)
+        i, j = int(m.src_frame[k]), int(m.dst_frame[k])
+        comp = lambda A, B: np.asarray(
+            lie.se_compose(jnp.asarray(A, self.dtype), jnp.asarray(B, self.dtype))
+        )
+        inv = lambda A: np.asarray(lie.se_inverse(jnp.asarray(A, self.dtype)))
+        if src_side:  # a = src robot, b = dst robot
+            lhs = comp(comp(Ga, traj_a[i]), Me)
+            return comp(lhs, inv(traj_b[j]))
+        else:  # a = dst robot, b = src robot: G_b T_i M_e = G_a T_j
+            lhs = comp(Ga, traj_a[j])
+            return comp(lhs, inv(comp(traj_b[i], Me)))
+
+    def initialize(
+        self, key: Optional[jax.Array] = None, trajectory: Optional[np.ndarray] = None
+    ) -> RBCDState:
+        """Build the initial lifted state: local init per robot → frame
+        alignment → anchor → lift through a shared sampled YLift
+        (reference lifting-matrix broadcast, ``PGOAgentROS.cpp:402-410``)."""
+        prob, cfg = self.problem, self.config
+        key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+        if trajectory is None:
+            locals_ = [
+                self._local_subgraph_traj(k) for k in range(prob.num_robots)
+            ]
+            if cfg.multirobot_initialization and prob.num_robots > 1:
+                T = self._align_robot_frames(locals_)
+            else:
+                T = np.concatenate(locals_, axis=0)
+        else:
+            T = np.asarray(trajectory)
+        T = rounding.anchor_to_first_pose(jnp.asarray(T, self.dtype))
+        if prob.r == prob.d:
+            self.Ylift = jnp.eye(prob.d, dtype=self.dtype)
+        else:
+            self.Ylift = stiefel.random_lifting_matrix(
+                key, prob.r, prob.d, self.dtype
+            )
+        X = stiefel.lift_trajectory(T, self.Ylift)
+        E = prob.edges.num_edges
+        weights = jnp.asarray(self.problem.edges.weight, self.dtype)
+        fixed = 1.0 - jnp.asarray(self.problem.edges.is_loop, self.dtype)
+        if self.config.robust_cost_type != RobustCostType.GNC_TLS:
+            fixed = jnp.ones_like(fixed)
+        e = self._edges(weights)
+        return RBCDState(
+            X=X,
+            X_prev=X,
+            theta=jnp.asarray(1.0, self.dtype),
+            iteration=jnp.asarray(0, jnp.int32),
+            cost=quadratic.cost(X, e),
+            rel_change=jnp.full((prob.num_robots,), jnp.inf, self.dtype),
+            weights=weights,
+            fixed_mask=fixed,
+            mu=jnp.asarray(self.config.GNC_init_mu, self.dtype),
+            weight_update_count=jnp.asarray(0, jnp.int32),
+        )
+
+    # ------------------------------------------------------------------ steps
+
+    def _local_solve(self, X, e, mask, P):
+        if self.config.solver == SolverMethod.RTR:
+            return rtr_solve(X, e, mask, P, self.rtr_params)
+        return rgd_solve(X, e, mask, P, self.rgd_params)
+
+    def _block_update(self, st: RBCDState, mask, e, P) -> Tuple[jnp.ndarray, OptResult, jnp.ndarray]:
+        """One masked block update with optional Nesterov momentum +
+        cost-decrease safeguard (adaptive restart)."""
+        cfg = self.config
+        if cfg.acceleration:
+            theta_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * st.theta**2))
+            beta = (st.theta - 1.0) / theta_new
+            M = mask * (st.X - st.X_prev)
+            X_work = stiefel.retract_polar(
+                st.X, beta * stiefel.proj_tangent(st.X, M)
+            )
+            X_acc, res_acc = self._local_solve(X_work, e, mask, P)
+
+            def accept():
+                return X_acc, res_acc, theta_new
+
+            def restart():
+                X_r, res_r = self._local_solve(st.X, e, mask, P)
+                return X_r, res_r, jnp.asarray(1.0, st.theta.dtype)
+
+            ok = res_acc.f_opt <= st.cost
+            X_new, res, theta = jax.lax.cond(ok, accept, restart)
+            # periodic restart (reference restart_interval,
+            # PGOAgentROSNode.cpp:126-130)
+            theta = jnp.where(
+                (st.iteration + 1) % cfg.restart_interval == 0, 1.0, theta
+            )
+            return X_new, res, theta
+        X_new, res = self._local_solve(st.X, e, mask, P)
+        return X_new, res, st.theta
+
+    def _finish_step(self, st: RBCDState, X_new, res, theta, mask):
+        """Common epilogue: relative change, momentum memory, counters."""
+        per_pose = jnp.sqrt(
+            jnp.sum((X_new - st.X) ** 2, axis=(-2, -1))
+        )  # (n,)
+        rc = jnp.max(per_pose * mask[:, 0, 0])
+        # which robots moved? parallel mode: all; sequential: one.
+        moved = (
+            jnp.zeros((self.problem.num_robots,), self.dtype)
+            .at[self.problem.robot_of_pose]
+            .max(mask[:, 0, 0] * per_pose)
+        )
+        rel_change = jnp.where(
+            jnp.asarray(
+                jnp.sum(mask[:, 0, 0]) > 0, bool
+            ),
+            jnp.where(
+                jnp.zeros_like(st.rel_change)
+                .at[self.problem.robot_of_pose]
+                .max(mask[:, 0, 0])
+                > 0,
+                moved,
+                st.rel_change,
+            ),
+            st.rel_change,
+        )
+        X_prev = jnp.where(mask > 0, st.X, st.X_prev)
+        return RBCDState(
+            X=X_new,
+            X_prev=X_prev,
+            theta=theta,
+            iteration=st.iteration + 1,
+            cost=res.f_opt,
+            rel_change=rel_change,
+            weights=st.weights,
+            fixed_mask=st.fixed_mask,
+            mu=st.mu,
+            weight_update_count=st.weight_update_count,
+        ), rc
+
+    def _step_sequential_impl(self, st: RBCDState, robot: jnp.ndarray):
+        """Synchronous RBCD step: the robot named by the UPDATE token
+        optimizes its block (reference ``iterate(true)`` vs ``iterate(false)``,
+        ``src/PGOAgentROS.cpp:1161-1189``)."""
+        e = self._edges(st.weights)
+        mask = self._masks[robot]
+        P = quadratic.precond_blocks(e, self.problem.n)
+        X_new, res, theta = self._block_update(st, mask, e, P)
+        return self._finish_step(st, X_new, res, theta, mask)
+
+    def _step_parallel_impl(self, st: RBCDState):
+        """Parallel block updates: every robot solves its own block against
+        iteration-start separators, combined additively (Jacobi-RBCD / ASAPP
+        delay-0). vmap over block masks — on a device mesh this becomes
+        shard_map with an all_gather of separators (parallel/spmd.py)."""
+        e = self._edges(st.weights)
+        P = quadratic.precond_blocks(e, self.problem.n)
+
+        def one(mask):
+            X_new, res, theta = self._block_update(st, mask, e, P)
+            return X_new, res.f_opt, theta
+
+        X_all, f_all, theta_all = jax.vmap(one)(self._masks)
+        # combine: take each robot's own block from its solve
+        X_new = jnp.sum(X_all * self._masks, axis=0) + st.X * (
+            1.0 - jnp.sum(self._masks, axis=0)
+        )
+        res = OptResult(
+            success=jnp.asarray(True),
+            f_init=st.cost,
+            f_opt=quadratic.cost(X_new, e),
+            gradnorm_init=jnp.asarray(0.0, self.dtype),
+            gradnorm_opt=stiefel.tangent_norm(
+                quadratic.rgrad(X_new, e)
+            ),
+            iterations=jnp.asarray(1, jnp.int32),
+        )
+        return self._finish_step(
+            st, X_new, res, jnp.mean(theta_all), self._all_mask
+        )
+
+    def _weight_update_impl(self, st: RBCDState):
+        """GNC-TLS weight round (reference UPDATE_WEIGHT,
+        ``PGOAgentROS.cpp:1211-1233``): residuals on the rounded trajectory,
+        TLS weights under current mu, optional convergence freezing, mu up."""
+        cfg = self.config
+        e = self._edges(st.weights)
+        T = rounding.round_solution(st.X)
+        r = robust.measurement_residuals(T, e)
+        w_new, mu_new = robust.update_weights_gnc(
+            st.weights, st.fixed_mask, r, st.mu, cfg.GNC_barc, cfg.GNC_mu_step
+        )
+        fixed = st.fixed_mask
+        if cfg.weight_convergence_threshold > 0:
+            conv = jnp.abs(w_new - jnp.round(w_new)) < cfg.weight_convergence_threshold
+            newly = (fixed == 0) & conv
+            w_new = jnp.where(newly, jnp.round(w_new), w_new)
+            fixed = jnp.where(newly, 1.0, fixed)
+        cost = quadratic.cost(st.X, self._edges(w_new))
+        return RBCDState(
+            X=st.X,
+            X_prev=st.X,  # drop momentum across weight rounds
+            theta=jnp.asarray(1.0, self.dtype),
+            iteration=st.iteration,
+            cost=cost,
+            rel_change=jnp.full_like(st.rel_change, jnp.inf),
+            weights=w_new,
+            fixed_mask=fixed,
+            mu=mu_new,
+            weight_update_count=st.weight_update_count + 1,
+        )
+
+    # ------------------------------------------------------------------ driver
+
+    def run(
+        self,
+        state: Optional[RBCDState] = None,
+        max_iters: Optional[int] = None,
+        callback=None,
+    ) -> Tuple[RBCDState, Dict]:
+        """Host-side round driver replicating the reference leader protocol
+        (SURVEY.md §3.2): scheduled block updates, GNC weight rounds every
+        ``robust_opt_inner_iters_per_robot × num_robots`` iterations, and
+        relative-change termination once every robot is ready.
+
+        Returns (final_state, info) where info carries per-iteration history
+        with the reference telemetry fields (SURVEY.md §5.1).
+        """
+        cfg = self.config
+        prob = self.problem
+        if state is None:
+            state = self.initialize()
+        max_iters = max_iters or cfg.max_iteration_number
+        rng = np.random.default_rng(cfg.seed)
+        gnc = cfg.robust_cost_type == RobustCostType.GNC_TLS
+        inner = cfg.robust_opt_inner_iters_per_robot * prob.num_robots
+        history: Dict[str, list] = {
+            "iteration": [],
+            "cost": [],
+            "rel_change": [],
+            "iter_time_sec": [],
+            "event": [],
+        }
+        t_start = time.time()
+        it = 0
+        while it < max_iters:
+            # GNC outer round?
+            if gnc and it > 0 and it % inner == 0 and (
+                state.weight_update_count < cfg.robust_opt_num_weight_updates
+            ):
+                state = self._weight_upd(state)
+                history["event"].append((it, "UPDATE_WEIGHT"))
+                # optional re-initialization after early weight updates
+                # (robustOptNumResets, reference PGOAgentROSNode.cpp:212-221)
+                if state.weight_update_count <= cfg.robust_opt_num_resets:
+                    w, fm, mu, wuc = (
+                        state.weights,
+                        state.fixed_mask,
+                        state.mu,
+                        state.weight_update_count,
+                    )
+                    st2 = self.initialize()
+                    state = st2._replace(
+                        weights=w,
+                        fixed_mask=fm,
+                        mu=mu,
+                        weight_update_count=wuc,
+                        iteration=state.iteration,
+                        cost=quadratic.cost(st2.X, self._edges(w)),
+                    )
+            t0 = time.time()
+            if cfg.update_rule == UpdateRule.PARALLEL:
+                state, rc = self._step_par(state)
+            else:
+                if cfg.update_rule == UpdateRule.ROUND_ROBIN:
+                    k = it % prob.num_robots
+                else:
+                    k = int(rng.integers(prob.num_robots))
+                state, rc = self._step_seq(state, jnp.asarray(k))
+            state.cost.block_until_ready()
+            dt = time.time() - t0
+            it += 1
+            history["iteration"].append(it)
+            history["cost"].append(float(state.cost))
+            history["rel_change"].append(float(rc))
+            history["iter_time_sec"].append(dt)
+            if callback is not None:
+                callback(it, state)
+            # termination: all robots' last relative change below tol
+            # (reference readyToTerminate gossip, PGOAgentROS.cpp:192-217),
+            # and no pending GNC weight rounds
+            ready = bool(
+                np.all(
+                    np.asarray(state.rel_change)
+                    < cfg.relative_change_tolerance
+                )
+            )
+            gnc_done = (not gnc) or (
+                int(state.weight_update_count)
+                >= cfg.robust_opt_num_weight_updates
+            )
+            if ready and gnc_done:
+                break
+        info = {
+            "history": history,
+            "iterations": it,
+            "total_time_sec": time.time() - t_start,
+            "final_cost": float(state.cost),
+            "converged": bool(
+                np.all(
+                    np.asarray(state.rel_change) < cfg.relative_change_tolerance
+                )
+            ),
+        }
+        if gnc:
+            acc, rej, und = robust.classify_weights(
+                state.weights, prob.edges.is_loop, prob.edges.mask
+            )
+            info["gnc_stats"] = {
+                "accepted": int(acc),
+                "rejected": int(rej),
+                "undecided": int(und),
+            }
+        return state, info
+
+    def finalize(self, state: RBCDState) -> Tuple[np.ndarray, RBCDState]:
+        """TERMINATE semantics (reference ``PGOAgentROS.cpp:1036-1082``):
+        reject undecided GNC weights, round to SE(d), anchor first pose."""
+        if self.config.robust_cost_type == RobustCostType.GNC_TLS:
+            und = (
+                (self.problem.edges.is_loop > 0)
+                & (state.weights > 1e-6)
+                & (state.weights < 1.0 - 1e-6)
+            )
+            w = jnp.where(und, 0.0, state.weights)
+            state = state._replace(weights=w)
+        T = rounding.round_solution(state.X)
+        T = rounding.anchor_to_first_pose(T)
+        return np.asarray(T), state

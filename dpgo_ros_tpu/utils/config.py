@@ -1,0 +1,166 @@
+"""Framework configuration — parity with the reference's parameter surface.
+
+Every knob in the reference launch template (``launch/PGOAgent.launch:9-50``,
+parsed at ``src/PGOAgentROSNode.cpp:28-245``) has an equivalent here, with the
+same defaults. Derived parameters (GNC barc from a χ² quantile, the GNC
+iteration budget) are computed in ``resolve()`` exactly as the reference does
+(``PGOAgentROSNode.cpp:196-232``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+from typing import Optional
+
+
+class UpdateRule(enum.Enum):
+    """Block-selection rule for synchronous RBCD (reference
+    ``PGOAgentROSParameters::UpdateRule``, ``PGOAgentROS.h:35-38``) plus the
+    TPU-native PARALLEL generalization (all blocks update simultaneously
+    against last-iteration separators — ASAPP with delay 0, SURVEY.md §2.4)."""
+
+    UNIFORM = "Uniform"
+    ROUND_ROBIN = "RoundRobin"
+    PARALLEL = "Parallel"
+
+
+class InitMethod(enum.Enum):
+    """``localInitializationMethod`` (reference ``PGOAgentROSNode.cpp:104-117``)."""
+
+    ODOMETRY = "Odometry"
+    CHORDAL = "Chordal"
+    GNC_TLS = "GNC_TLS"
+
+
+class RobustCostType(enum.Enum):
+    """``RobustCostParameters::Type`` (reference ``PGOAgentROSNode.cpp:174-211``)."""
+
+    L2 = "L2"
+    L1 = "L1"
+    HUBER = "Huber"
+    TLS = "TLS"
+    GM = "GM"
+    GNC_TLS = "GNC_TLS"
+
+
+class SolverMethod(enum.Enum):
+    RTR = "RTR"
+    RGD = "RGD"
+
+
+def chi2_quantile_3dof(quantile: float) -> float:
+    """Inverse CDF of χ²(3) via bisection on the regularized lower incomplete
+    gamma function — replaces the reference's boost::math quantile call
+    (``RobustCost::computeErrorThresholdAtQuantile(quantile, 3)``,
+    ``PGOAgentROSNode.cpp:196-209``)."""
+    # P(3/2, x/2) = quantile; closed-form CDF for 3 dof:
+    # F(x) = erf(sqrt(x/2)) - sqrt(2/pi) * sqrt(x) * exp(-x/2)
+    def cdf(x: float) -> float:
+        return math.erf(math.sqrt(x / 2.0)) - math.sqrt(
+            2.0 / math.pi
+        ) * math.sqrt(x) * math.exp(-x / 2.0)
+
+    lo, hi = 0.0, 200.0
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if cdf(mid) < quantile:
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi)
+
+
+@dataclasses.dataclass
+class AgentConfig:
+    """Full parameter set (defaults = reference ``launch/PGOAgent.launch:9-50``)."""
+
+    # problem
+    num_robots: int = 1
+    dimension: int = 3
+    relaxation_rank: int = 5
+
+    # mode
+    asynchronous: bool = False
+    asynchronous_rate: float = 10.0
+
+    # local solver
+    solver: Optional[SolverMethod] = None  # None → RTR if sync, RGD if async
+    RGD_stepsize: float = 1e-3
+    RGD_use_preconditioner: bool = True
+    RTR_iterations: int = 3
+    RTR_tCG_iterations: int = 50
+    RTR_gradnorm_tol: float = 1e-2
+
+    # initialization
+    local_initialization_method: InitMethod = InitMethod.ODOMETRY
+    multirobot_initialization: bool = True
+
+    # schedule
+    update_rule: UpdateRule = UpdateRule.UNIFORM
+    acceleration: bool = False
+    restart_interval: int = 50
+
+    # robust cost
+    robust_cost_type: RobustCostType = RobustCostType.L2
+    GNC_use_probability: bool = True
+    GNC_quantile: float = 0.9
+    GNC_barc: float = 5.0
+    GNC_mu_step: float = 2.0
+    GNC_init_mu: float = 1e-5
+    robust_opt_num_weight_updates: int = 4
+    robust_opt_num_resets: int = 0
+    robust_opt_min_convergence_ratio: float = 0.0
+    robust_opt_inner_iters_per_robot: int = 10
+    robust_init_min_inliers: int = 5
+
+    # termination
+    max_iteration_number: int = 1000
+    relative_change_tolerance: float = 0.1
+
+    # coordination-layer extensions (reference PGOAgentROS.h:33-119)
+    publish_iterate: bool = False
+    visualize_loop_closures: bool = False
+    complete_reset: bool = False
+    enable_recovery: bool = False
+    synchronize_measurements: bool = True
+    max_distributed_init_steps: int = 30
+    inter_update_sleep_time: float = 0.0
+    weight_convergence_threshold: float = -1.0
+    max_delayed_iterations: int = 0
+    timeout_threshold: float = 15.0
+
+    # logging
+    log_directory: Optional[str] = None
+    verbose: bool = False
+
+    # framework extras (TPU build)
+    dtype: str = "float64"  # "float32" on TPU
+    seed: int = 42
+
+    def resolve(self) -> "AgentConfig":
+        """Apply the reference's derived-parameter rules
+        (``PGOAgentROSNode.cpp:82-93, 196-232``):
+
+        * solver: RTR for synchronous mode, RGD for asynchronous;
+        * GNC barc from the χ²(3) quantile when GNC_use_probability;
+        * max iteration budget for GNC runs:
+          (numWeightUpdates + 1) * innerIters * numRobots − 2.
+        """
+        cfg = dataclasses.replace(self)
+        if cfg.solver is None:
+            cfg.solver = (
+                SolverMethod.RGD if cfg.asynchronous else SolverMethod.RTR
+            )
+        if (
+            cfg.robust_cost_type == RobustCostType.GNC_TLS
+            and cfg.GNC_use_probability
+        ):
+            cfg.GNC_barc = math.sqrt(chi2_quantile_3dof(cfg.GNC_quantile))
+        if cfg.robust_cost_type == RobustCostType.GNC_TLS:
+            inner = cfg.robust_opt_inner_iters_per_robot * cfg.num_robots
+            cfg.max_iteration_number = (
+                (cfg.robust_opt_num_weight_updates + 1) * inner - 2
+            )
+        return cfg
