@@ -9,10 +9,15 @@ lifted state X. The three update rules:
   reference's synchronous RBCD (``publishUpdateCommand``,
   ``src/PGOAgentROS.cpp:443-504``): one robot optimizes its block per
   iteration, everyone else only observes.
-* ``Parallel`` — the TPU-native generalization: every robot optimizes its own
-  block *simultaneously* against iteration-start separator poses (ASAPP with
-  delay 0; SURVEY.md §2.4 notes the sequential token is an artifact of lossy
-  robot networks, not of the math). Implemented as a vmap over block masks.
+* ``Parallel`` — the TPU-native generalization: a greedy coloring of the
+  robot adjacency graph (robots adjacent iff they share loop closures); all
+  robots of one color update *simultaneously* each iteration. Within a color
+  class the joint Hessian is block-diagonal, so a single masked trust-region
+  solve on the union mask IS the set of independent per-robot block solves —
+  provably convergent (it is exact block-coordinate descent over color
+  classes), with num_colors ≤ num_robots steps per sweep instead of
+  num_robots. (SURVEY.md §2.4 notes the sequential token is an artifact of
+  lossy robot networks, not of the math.)
 
 Nesterov acceleration maintains the auxiliary sequence the reference
 exchanges as ``is_auxiliary`` PublicPoses (``src/PGOAgentROS.cpp:662-690``),
@@ -85,18 +90,55 @@ class RBCDEngine:
             stepsize=cfg.RGD_stepsize,
             use_preconditioner=cfg.RGD_use_preconditioner,
         )
-        # (num_robots, n, 1, 1) stack of block masks for vmap'd parallel mode
+        # (num_robots, n, 1, 1) stack of block masks
         masks = [
             problem.block_mask(k, self.dtype)
             for k in range(problem.num_robots)
         ]
         self._masks = jnp.stack(masks, axis=0)
         self._all_mask = jnp.ones_like(self._masks[0])
+        # greedy coloring of the robot adjacency graph for the Parallel rule
+        self.robot_colors = self._color_robots()
+        self.num_colors = int(self.robot_colors.max()) + 1
+        color_masks = [
+            jnp.clip(
+                sum(
+                    masks[k]
+                    for k in range(problem.num_robots)
+                    if self.robot_colors[k] == c
+                ),
+                0.0,
+                1.0,
+            )
+            for c in range(self.num_colors)
+        ]
+        self._color_masks = jnp.stack(color_masks, axis=0)
         self.Ylift: Optional[jnp.ndarray] = None
 
         self._step_seq = jax.jit(self._step_sequential_impl)
         self._step_par = jax.jit(self._step_parallel_impl)
         self._weight_upd = jax.jit(self._weight_update_impl)
+
+    def _color_robots(self) -> np.ndarray:
+        """Greedy coloring of robots; adjacent iff they share measurements
+        (the separator structure, reference shared loop closures)."""
+        prob = self.problem
+        nR = prob.num_robots
+        src_r = np.asarray(prob.robot_of_pose)[np.asarray(prob.edges.src)]
+        dst_r = np.asarray(prob.robot_of_pose)[np.asarray(prob.edges.dst)]
+        mask = np.asarray(prob.edges.mask) > 0
+        adj = np.zeros((nR, nR), bool)
+        cross = mask & (src_r != dst_r)
+        adj[src_r[cross], dst_r[cross]] = True
+        adj[dst_r[cross], src_r[cross]] = True
+        colors = -np.ones(nR, np.int32)
+        for k in np.argsort(-adj.sum(1)):  # highest degree first
+            used = set(colors[adj[k]]) - {-1}
+            c = 0
+            while c in used:
+                c += 1
+            colors[k] = c
+        return colors
 
     # ------------------------------------------------------------------ init
 
@@ -350,36 +392,17 @@ class RBCDEngine:
         X_new, res, theta = self._block_update(st, mask, e, P)
         return self._finish_step(st, X_new, res, theta, mask)
 
-    def _step_parallel_impl(self, st: RBCDState):
-        """Parallel block updates: every robot solves its own block against
-        iteration-start separators, combined additively (Jacobi-RBCD / ASAPP
-        delay-0). vmap over block masks — on a device mesh this becomes
-        shard_map with an all_gather of separators (parallel/spmd.py)."""
+    def _step_parallel_impl(self, st: RBCDState, color: jnp.ndarray):
+        """Colored-parallel block update: all robots of ``color`` solve
+        simultaneously. Their union mask selects a block-diagonal sub-Hessian
+        (no shared edges within a color class), so the masked trust-region
+        solve decomposes into the independent per-robot solves — on a device
+        mesh this is the shard_map step of parallel/spmd.py."""
         e = self._edges(st.weights)
+        mask = self._color_masks[color]
         P = quadratic.precond_blocks(e, self.problem.n)
-
-        def one(mask):
-            X_new, res, theta = self._block_update(st, mask, e, P)
-            return X_new, res.f_opt, theta
-
-        X_all, f_all, theta_all = jax.vmap(one)(self._masks)
-        # combine: take each robot's own block from its solve
-        X_new = jnp.sum(X_all * self._masks, axis=0) + st.X * (
-            1.0 - jnp.sum(self._masks, axis=0)
-        )
-        res = OptResult(
-            success=jnp.asarray(True),
-            f_init=st.cost,
-            f_opt=quadratic.cost(X_new, e),
-            gradnorm_init=jnp.asarray(0.0, self.dtype),
-            gradnorm_opt=stiefel.tangent_norm(
-                quadratic.rgrad(X_new, e)
-            ),
-            iterations=jnp.asarray(1, jnp.int32),
-        )
-        return self._finish_step(
-            st, X_new, res, jnp.mean(theta_all), self._all_mask
-        )
+        X_new, res, theta = self._block_update(st, mask, e, P)
+        return self._finish_step(st, X_new, res, theta, mask)
 
     def _weight_update_impl(self, st: RBCDState):
         """GNC-TLS weight round (reference UPDATE_WEIGHT,
@@ -472,7 +495,8 @@ class RBCDEngine:
                     )
             t0 = time.time()
             if cfg.update_rule == UpdateRule.PARALLEL:
-                state, rc = self._step_par(state)
+                c = it % self.num_colors
+                state, rc = self._step_par(state, jnp.asarray(c))
             else:
                 if cfg.update_rule == UpdateRule.ROUND_ROBIN:
                     k = it % prob.num_robots

@@ -1,0 +1,383 @@
+"""Multi-chip SPMD distributed PGO: pose blocks sharded over a device mesh.
+
+This is the TPU-native replacement for the reference's per-robot ROS
+processes and TCPROS topics (SURVEY.md §1-L3, §5.8): one robot block per mesh
+slot along a ``robots`` axis; the separator-pose exchange
+(``msg/PublicPoses.msg``) becomes a single ``all_gather`` over ICI/DCN; GNC
+weight replication (``msg/RelativeMeasurementWeights.msg``) is implicit —
+every device recomputes identical weights from the gathered state; and
+termination gossip (``msg/Status.msg``) is a ``psum`` of per-robot
+relative-change flags.
+
+Layout: with M mesh slots and per-robot padding n_max,
+  * ``X_block``  (M, n_max, r, d+1)  — sharded along ``robots``
+  * edge tensors (M, E_max, ...)      — each device holds every edge incident
+    to its block (odometry + private + its copies of shared LCs), with
+    endpoint indices in *global padded* coordinates robot·n_max + frame.
+
+Each step: all_gather X → masked local trust-region solve (the mask selects
+the device's own block ∩ the active color class; a color class's joint
+Hessian is block-diagonal so the masked solve IS the independent per-robot
+solves) → keep own block. All control flow is jit-compatible; one XLA
+program per step, no host round-trips.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dpgo_ros_tpu.models.local_solvers import RTRParams, rtr_solve
+from dpgo_ros_tpu.models.problem import LiftedProblem
+from dpgo_ros_tpu.models import robust
+from dpgo_ros_tpu.ops import quadratic, rounding, stiefel
+from dpgo_ros_tpu.ops.quadratic import EdgeSet
+from dpgo_ros_tpu.utils.config import AgentConfig, RobustCostType
+
+
+@dataclasses.dataclass
+class ShardedProblem:
+    """Host-side container of the per-device tensors (numpy, pre-sharding)."""
+
+    X0: np.ndarray  # (M, n_max, r, d+1)
+    src: np.ndarray  # (M, E_max) int32, global padded indices
+    dst: np.ndarray  # (M, E_max)
+    R: np.ndarray  # (M, E_max, d, d)
+    t: np.ndarray  # (M, E_max, d)
+    kappa: np.ndarray  # (M, E_max)
+    tau: np.ndarray  # (M, E_max)
+    weight: np.ndarray  # (M, E_max)
+    mask: np.ndarray  # (M, E_max)
+    is_loop: np.ndarray  # (M, E_max)
+    pose_valid: np.ndarray  # (M, n_max) 1.0 for real poses
+    color: np.ndarray  # (M,) color class of each robot
+    num_colors: int
+    n_max: int
+    M: int
+    r: int
+    d: int
+
+    @staticmethod
+    def build(
+        problem: LiftedProblem,
+        X0_global: np.ndarray,
+        robot_colors: np.ndarray,
+        num_devices: Optional[int] = None,
+        dtype=np.float32,
+    ) -> "ShardedProblem":
+        """Shard a LiftedProblem: one robot per mesh slot (empty slots padded
+        with inert robots when num_devices > num_robots).
+
+        Shared edges are replicated to *both* endpoint devices at full weight
+        — matching the reference where each robot stores every shared loop
+        closure it participates in (``src/PGOAgentROS.cpp:262-281``). Each
+        copy only ever contributes to its owner's *masked* block gradient, so
+        there is no double counting in the solves; per-device costs are local
+        restrictions (do not psum them — reassemble and evaluate globally for
+        telemetry).
+        """
+        nR = problem.num_robots
+        M = num_devices or nR
+        assert M >= nR, "need at least one mesh slot per robot"
+        n_max = int(np.max(problem.num_poses))
+        e = problem.edges
+        src = np.asarray(e.src)
+        dst = np.asarray(e.dst)
+        rop = np.asarray(problem.robot_of_pose)
+        emask = np.asarray(e.mask) > 0
+        src_r, dst_r = rop[src], rop[dst]
+
+        # global padded index of each pose
+        offsets = problem.offsets
+        local_of = np.arange(problem.n) - offsets[rop]
+        gpad_of = rop * n_max + local_of
+
+        per_dev = [[] for _ in range(M)]
+        halves = [[] for _ in range(M)]
+        for k in np.where(emask)[0]:
+            a, b = int(src_r[k]), int(dst_r[k])
+            if a == b:
+                per_dev[a].append(k)
+                halves[a].append(1.0)
+            else:
+                per_dev[a].append(k)
+                halves[a].append(1.0)
+                per_dev[b].append(k)
+                halves[b].append(1.0)
+        E_max = max(1, max(len(v) for v in per_dev))
+
+        def padded(arr, idxs, fill=0.0):
+            out = np.full((E_max,) + arr.shape[1:], fill, arr.dtype)
+            if idxs:
+                out[: len(idxs)] = arr[idxs]
+            return out
+
+        R_ = np.asarray(e.R)
+        t_ = np.asarray(e.t)
+        kap = np.asarray(e.kappa)
+        tau_ = np.asarray(e.tau)
+        w_ = np.asarray(e.weight)
+        il = np.asarray(e.is_loop)
+
+        S = dict(
+            src=np.zeros((M, E_max), np.int32),
+            dst=np.zeros((M, E_max), np.int32),
+            R=np.zeros((M, E_max, problem.d, problem.d), dtype),
+            t=np.zeros((M, E_max, problem.d), dtype),
+            kappa=np.zeros((M, E_max), dtype),
+            tau=np.zeros((M, E_max), dtype),
+            weight=np.zeros((M, E_max), dtype),
+            mask=np.zeros((M, E_max), dtype),
+            is_loop=np.zeros((M, E_max), dtype),
+        )
+        for m in range(M):
+            idxs = per_dev[m] if m < nR else []
+            S["src"][m] = padded(gpad_of[src].astype(np.int32), idxs)
+            S["dst"][m] = padded(gpad_of[dst].astype(np.int32), idxs)
+            S["R"][m] = padded(R_.astype(dtype), idxs)
+            S["t"][m] = padded(t_.astype(dtype), idxs)
+            S["kappa"][m] = padded(kap.astype(dtype), idxs)
+            S["tau"][m] = padded(tau_.astype(dtype), idxs)
+            S["weight"][m] = padded(w_.astype(dtype), idxs)
+            S["is_loop"][m] = padded(il.astype(dtype), idxs)
+            if idxs:
+                S["mask"][m][: len(idxs)] = np.asarray(halves[m], dtype)
+
+        X0 = np.zeros((M, n_max, problem.r, problem.d + 1), dtype)
+        pv = np.zeros((M, n_max), dtype)
+        for k in range(nR):
+            nk = int(problem.num_poses[k])
+            o = int(problem.offsets[k])
+            X0[k, :nk] = X0_global[o : o + nk]
+            pv[k, :nk] = 1.0
+        # padded rows (and empty slots) get valid Stiefel points so
+        # projections/retractions stay well-conditioned
+        eye = np.zeros((problem.r, problem.d), dtype)
+        eye[: problem.d, : problem.d] = np.eye(problem.d)
+        for k in range(M):
+            start = int(problem.num_poses[k]) if k < nR else 0
+            X0[k, start:, :, : problem.d] = eye
+
+        colors = np.zeros((M,), np.int32)
+        colors[:nR] = robot_colors
+        if M > nR:
+            colors[nR:] = 0
+        return ShardedProblem(
+            X0=X0,
+            pose_valid=pv,
+            color=colors,
+            num_colors=int(robot_colors.max()) + 1,
+            n_max=n_max,
+            M=M,
+            r=problem.r,
+            d=problem.d,
+            **S,
+        )
+
+
+class SpmdState(NamedTuple):
+    """Per-device sharded solver state."""
+
+    X: jnp.ndarray  # (M, n_max, r, d+1) sharded on axis 0
+    X_prev: jnp.ndarray
+    theta: jnp.ndarray  # (M, 1) per-robot Nesterov scalar
+    iteration: jnp.ndarray  # (M, 1) int32 (replicated value per shard)
+    rel_change: jnp.ndarray  # (M, 1)
+    weights: jnp.ndarray  # (M, E_max)
+    mu: jnp.ndarray  # (M, 1)
+
+
+def build_spmd_step(
+    sp: ShardedProblem,
+    mesh: Mesh,
+    config: AgentConfig,
+    axis: str = "robots",
+):
+    """Return (init_state, step) where step is a jitted shard_map program
+    performing one colored-parallel RBCD iteration (+ optional GNC weight
+    round when ``do_weight_update`` is 1)."""
+    cfg = config.resolve()
+    rtr = RTRParams(
+        max_iterations=cfg.RTR_iterations,
+        max_tcg_iterations=cfg.RTR_tCG_iterations,
+        gradnorm_tol=cfg.RTR_gradnorm_tol,
+    )
+    M, n_max = sp.M, sp.n_max
+    gnc = cfg.robust_cost_type == RobustCostType.GNC_TLS
+
+    # static per-device tensors enter via closure as sharded arrays
+    consts = {
+        "src": jnp.asarray(sp.src),
+        "dst": jnp.asarray(sp.dst),
+        "R": jnp.asarray(sp.R),
+        "t": jnp.asarray(sp.t),
+        "kappa": jnp.asarray(sp.kappa),
+        "tau": jnp.asarray(sp.tau),
+        "mask": jnp.asarray(sp.mask),
+        "is_loop": jnp.asarray(sp.is_loop),
+        "pose_valid": jnp.asarray(sp.pose_valid),
+        "color": jnp.asarray(sp.color),
+    }
+
+    def shard_body(step_idx, do_weight_update, st, c):
+        """Runs per device with leading M axis stripped to size 1."""
+        me = jax.lax.axis_index(axis)
+        X_own = st.X[0]  # (n_max, r, d+1)
+        # --- separator exchange: the PublicPoses analogue -----------------
+        # Single fused all_gather for (X, X_prev): independent collectives
+        # can be scheduled in different orders by per-device executors and
+        # deadlock the in-process CPU rendezvous; one collective also means
+        # one ICI transfer on hardware.
+        both = jnp.stack([X_own, st.X_prev[0]], axis=0)  # (2, n_max, r, d+1)
+        g = jax.lax.all_gather(both, axis)  # (M, 2, n_max, r, d+1)
+        Xg = g[:, 0].reshape(M * n_max, sp.r, sp.d + 1)
+        Xp = g[:, 1].reshape(M * n_max, sp.r, sp.d + 1)
+        e = EdgeSet(
+            src=c["src"][0],
+            dst=c["dst"][0],
+            R=c["R"][0],
+            t=c["t"][0],
+            kappa=c["kappa"][0],
+            tau=c["tau"][0],
+            weight=st.weights[0],
+            mask=c["mask"][0],
+            is_loop=c["is_loop"][0],
+        )
+        # --- masked local solve ------------------------------------------
+        my_color = c["color"][0]
+        active = (my_color == step_idx % sp.num_colors).astype(Xg.dtype)
+        own = jnp.zeros((M * n_max,), Xg.dtype)
+        own = jax.lax.dynamic_update_slice(
+            own, c["pose_valid"][0] * active, (me * n_max,)
+        )
+        mask = own[:, None, None]
+        P_blocks = quadratic.precond_blocks(e, M * n_max)
+
+        if cfg.acceleration:
+            theta = st.theta[0, 0]
+            theta_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * theta**2))
+            beta = (theta - 1.0) / theta_new
+            Xw = stiefel.retract_polar(
+                Xg, beta * stiefel.proj_tangent(Xg, mask * (Xg - Xp))
+            )
+            f_cur = quadratic.cost(Xg, e)
+            X_acc, res = rtr_solve(Xw, e, mask, P_blocks, rtr)
+
+            def ok():
+                return X_acc, theta_new
+
+            def restart():
+                X_r, _ = rtr_solve(Xg, e, mask, P_blocks, rtr)
+                return X_r, jnp.asarray(1.0, theta.dtype)
+
+            X_new, theta_out = jax.lax.cond(res.f_opt <= f_cur, ok, restart)
+            theta_out = jnp.where(
+                (step_idx + 1) % cfg.restart_interval == 0, 1.0, theta_out
+            )
+        else:
+            X_new, _ = rtr_solve(Xg, e, mask, P_blocks, rtr)
+            theta_out = st.theta[0, 0]
+
+        per_pose = jnp.sqrt(jnp.sum((X_new - Xg) ** 2, axis=(-2, -1)))
+        rc_own = jnp.max(per_pose * own)
+        rc = jnp.where(active > 0, rc_own, st.rel_change[0, 0])
+
+        X_prev_own = jnp.where(
+            active > 0,
+            jax.lax.dynamic_slice(
+                Xg, (me * n_max, 0, 0), (n_max, sp.r, sp.d + 1)
+            ),
+            st.X_prev[0],
+        )
+        X_own_new = jax.lax.dynamic_slice(
+            X_new, (me * n_max, 0, 0), (n_max, sp.r, sp.d + 1)
+        )
+
+        # --- optional GNC weight round (UPDATE_WEIGHT analogue) ----------
+        w = st.weights[0]
+        mu = st.mu[0, 0]
+        if gnc:
+            def weight_round(args):
+                w0, mu0 = args
+                Xall = jax.lax.all_gather(X_own_new, axis).reshape(
+                    M * n_max, sp.r, sp.d + 1
+                )
+                T = rounding.round_solution(Xall)
+                res_e = robust.measurement_residuals(T, e)
+                fixed = 1.0 - e.is_loop
+                w1, mu1 = robust.update_weights_gnc(
+                    w0, fixed, res_e, mu0, cfg.GNC_barc, cfg.GNC_mu_step
+                )
+                return w1, mu1
+
+            w, mu = jax.lax.cond(
+                do_weight_update > 0, weight_round, lambda a: a, (w, mu)
+            )
+
+        return SpmdState(
+            X=X_own_new[None],
+            X_prev=X_prev_own[None],
+            theta=jnp.asarray(theta_out)[None, None],
+            iteration=st.iteration + 1,
+            rel_change=jnp.asarray(rc)[None, None],
+            weights=w[None],
+            mu=jnp.asarray(mu)[None, None],
+        )
+
+    spec_state = SpmdState(
+        X=P(axis), X_prev=P(axis), theta=P(axis), iteration=P(axis),
+        rel_change=P(axis), weights=P(axis), mu=P(axis),
+    )
+    spec_consts = {k: P(axis) for k in consts}
+
+    smapped = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P(), spec_state, spec_consts),
+        out_specs=spec_state,
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(step_idx, do_weight_update, st):
+        return smapped(step_idx, do_weight_update, st, consts)
+
+    dtype = sp.X0.dtype
+    init = SpmdState(
+        X=jnp.asarray(sp.X0),
+        X_prev=jnp.asarray(sp.X0),
+        theta=jnp.ones((M, 1), dtype),
+        iteration=jnp.zeros((M, 1), jnp.int32),
+        rel_change=jnp.full((M, 1), jnp.inf, dtype),
+        weights=jnp.asarray(sp.weight),
+        mu=jnp.full((M, 1), cfg.GNC_init_mu, dtype),
+    )
+    with mesh:
+        init = jax.device_put(
+            init,
+            SpmdState(
+                X=NamedSharding(mesh, P(axis)),
+                X_prev=NamedSharding(mesh, P(axis)),
+                theta=NamedSharding(mesh, P(axis)),
+                iteration=NamedSharding(mesh, P(axis)),
+                rel_change=NamedSharding(mesh, P(axis)),
+                weights=NamedSharding(mesh, P(axis)),
+                mu=NamedSharding(mesh, P(axis)),
+            ),
+        )
+    return init, step
+
+
+def gather_trajectory(sp: ShardedProblem, st: SpmdState, num_poses) -> np.ndarray:
+    """Reassemble the global lifted state (n, r, d+1) from shards."""
+    X = np.asarray(st.X)
+    parts = []
+    for k, nk in enumerate(num_poses):
+        parts.append(X[k, : int(nk)])
+    return np.concatenate(parts, axis=0)
