@@ -60,8 +60,11 @@ from dpgo_ros_tpu.utils.config import (
 class RBCDState(NamedTuple):
     """Device-resident solver state (a pytree; one per fleet)."""
 
-    X: jnp.ndarray  # (n, r, d+1) lifted iterate, global frame
+    X: jnp.ndarray  # (n, r, d+1) lifted main iterate, global frame
     X_prev: jnp.ndarray  # per-block previous accepted iterate (momentum)
+    V: jnp.ndarray  # auxiliary (extrapolated) sequence — what neighbors see;
+    # the reference exchanges it as is_auxiliary PublicPoses
+    # (``src/PGOAgentROS.cpp:662-690``)
     theta: jnp.ndarray  # Nesterov scalar sequence
     iteration: jnp.ndarray  # i32
     cost: jnp.ndarray
@@ -294,6 +297,7 @@ class RBCDEngine:
         return RBCDState(
             X=X,
             X_prev=X,
+            V=X,
             theta=jnp.asarray(1.0, self.dtype),
             iteration=jnp.asarray(0, jnp.int32),
             cost=quadratic.cost(X, e),
@@ -311,67 +315,94 @@ class RBCDEngine:
             return rtr_solve(X, e, mask, P, self.rtr_params)
         return rgd_solve(X, e, mask, P, self.rgd_params)
 
-    def _block_update(self, st: RBCDState, mask, e, P) -> Tuple[jnp.ndarray, OptResult, jnp.ndarray]:
-        """One masked block update with optional Nesterov momentum +
-        cost-decrease safeguard (adaptive restart)."""
+    def _block_update(self, st: RBCDState, mask, e, P):
+        """One masked block update, optionally Nesterov-accelerated.
+
+        Accelerated RBCD requires the block subproblem to be solved against
+        the *auxiliary* (extrapolated) state V — solving from an extrapolated
+        starting point alone is a no-op when the block is minimized (nearly)
+        exactly, since the minimizer doesn't depend on the start. This is why
+        the reference exchanges a second is_auxiliary pose stream
+        (``src/PGOAgentROS.cpp:662-690``). After the solve, the block's
+        auxiliary value is extrapolated: V_k = Retr(X_k, β (X_k − X_k^prev)),
+        with β from the standard Nesterov θ-sequence, adaptive restart on
+        cost increase, and periodic restart (``restart_interval``).
+
+        Returns (X_new, V_new, res, theta_new).
+        """
         cfg = self.config
-        if cfg.acceleration:
-            theta_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * st.theta**2))
+        if not cfg.acceleration:
+            X_new, res = self._local_solve(st.X, e, mask, P)
+            return X_new, X_new, res, st.theta
+
+        theta_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * st.theta**2))
+        if cfg.acceleration_beta is not None:
+            beta = jnp.asarray(cfg.acceleration_beta, st.X.dtype)
+        else:
             beta = (st.theta - 1.0) / theta_new
-            M = mask * (st.X - st.X_prev)
-            X_work = stiefel.retract_polar(
-                st.X, beta * stiefel.proj_tangent(st.X, M)
+        # solve block against neighbors at their auxiliary values
+        Z, res_acc = self._local_solve(st.V, e, mask, P)
+        X_acc = jnp.where(mask > 0, Z, st.X)
+        f_acc = quadratic.cost(X_acc, e)
+
+        def accept():
+            Vk = stiefel.retract_polar(
+                X_acc,
+                beta * stiefel.proj_tangent(X_acc, mask * (X_acc - st.X_prev)),
             )
-            X_acc, res_acc = self._local_solve(X_work, e, mask, P)
+            V_new = jnp.where(mask > 0, Vk, st.V)
+            r = res_acc._replace(f_opt=f_acc)
+            return X_acc, V_new, r, theta_new
 
-            def accept():
-                return X_acc, res_acc, theta_new
+        def restart():
+            X_r, res_r = self._local_solve(st.X, e, mask, P)
+            return X_r, X_r, res_r, jnp.asarray(1.0, st.theta.dtype)
 
-            def restart():
-                X_r, res_r = self._local_solve(st.X, e, mask, P)
-                return X_r, res_r, jnp.asarray(1.0, st.theta.dtype)
+        if cfg.acceleration_safeguard:
+            ok = f_acc <= st.cost
+            X_new, V_new, res, theta = jax.lax.cond(ok, accept, restart)
+        else:
+            X_new, V_new, res, theta = accept()
+        theta = jnp.where(
+            (st.iteration + 1) % cfg.restart_interval == 0, 1.0, theta
+        )
+        return X_new, V_new, res, theta
 
-            ok = res_acc.f_opt <= st.cost
-            X_new, res, theta = jax.lax.cond(ok, accept, restart)
-            # periodic restart (reference restart_interval,
-            # PGOAgentROSNode.cpp:126-130)
-            theta = jnp.where(
-                (st.iteration + 1) % cfg.restart_interval == 0, 1.0, theta
+    def _finish_step(self, st: RBCDState, X_new, V_new, res, theta, mask):
+        """Common epilogue: relative change, momentum memory, counters.
+
+        Relative change per robot is the Frobenius norm of its block's
+        update (``relative_change_metric="block_frobenius"``, the
+        DPGO-calibrated default matching the reference's ~240-iteration
+        sphere2500 convergence at tol 0.2) or the max per-pose update norm
+        (``"max_pose"``, a looser uniform metric)."""
+        per_pose2 = jnp.sum((X_new - st.X) ** 2, axis=(-2, -1))  # (n,)
+        sel = mask[:, 0, 0]
+        if getattr(self.config, "relative_change_metric", "block_frobenius") == "max_pose":
+            moved = (
+                jnp.zeros((self.problem.num_robots,), self.dtype)
+                .at[self.problem.robot_of_pose]
+                .max(sel * jnp.sqrt(per_pose2))
             )
-            return X_new, res, theta
-        X_new, res = self._local_solve(st.X, e, mask, P)
-        return X_new, res, st.theta
-
-    def _finish_step(self, st: RBCDState, X_new, res, theta, mask):
-        """Common epilogue: relative change, momentum memory, counters."""
-        per_pose = jnp.sqrt(
-            jnp.sum((X_new - st.X) ** 2, axis=(-2, -1))
-        )  # (n,)
-        rc = jnp.max(per_pose * mask[:, 0, 0])
-        # which robots moved? parallel mode: all; sequential: one.
-        moved = (
+            rc = jnp.max(sel * jnp.sqrt(per_pose2))
+        else:
+            moved = jnp.sqrt(
+                jnp.zeros((self.problem.num_robots,), self.dtype)
+                .at[self.problem.robot_of_pose]
+                .add(sel * per_pose2)
+            )
+            rc = jnp.sqrt(jnp.sum(sel * per_pose2))
+        updated_robots = (
             jnp.zeros((self.problem.num_robots,), self.dtype)
             .at[self.problem.robot_of_pose]
-            .max(mask[:, 0, 0] * per_pose)
+            .max(sel)
         )
-        rel_change = jnp.where(
-            jnp.asarray(
-                jnp.sum(mask[:, 0, 0]) > 0, bool
-            ),
-            jnp.where(
-                jnp.zeros_like(st.rel_change)
-                .at[self.problem.robot_of_pose]
-                .max(mask[:, 0, 0])
-                > 0,
-                moved,
-                st.rel_change,
-            ),
-            st.rel_change,
-        )
+        rel_change = jnp.where(updated_robots > 0, moved, st.rel_change)
         X_prev = jnp.where(mask > 0, st.X, st.X_prev)
         return RBCDState(
             X=X_new,
             X_prev=X_prev,
+            V=V_new,
             theta=theta,
             iteration=st.iteration + 1,
             cost=res.f_opt,
@@ -389,8 +420,8 @@ class RBCDEngine:
         e = self._edges(st.weights)
         mask = self._masks[robot]
         P = quadratic.precond_blocks(e, self.problem.n)
-        X_new, res, theta = self._block_update(st, mask, e, P)
-        return self._finish_step(st, X_new, res, theta, mask)
+        X_new, V_new, res, theta = self._block_update(st, mask, e, P)
+        return self._finish_step(st, X_new, V_new, res, theta, mask)
 
     def _step_parallel_impl(self, st: RBCDState, color: jnp.ndarray):
         """Colored-parallel block update: all robots of ``color`` solve
@@ -401,8 +432,8 @@ class RBCDEngine:
         e = self._edges(st.weights)
         mask = self._color_masks[color]
         P = quadratic.precond_blocks(e, self.problem.n)
-        X_new, res, theta = self._block_update(st, mask, e, P)
-        return self._finish_step(st, X_new, res, theta, mask)
+        X_new, V_new, res, theta = self._block_update(st, mask, e, P)
+        return self._finish_step(st, X_new, V_new, res, theta, mask)
 
     def _weight_update_impl(self, st: RBCDState):
         """GNC-TLS weight round (reference UPDATE_WEIGHT,
@@ -425,6 +456,7 @@ class RBCDEngine:
         return RBCDState(
             X=st.X,
             X_prev=st.X,  # drop momentum across weight rounds
+            V=st.X,
             theta=jnp.asarray(1.0, self.dtype),
             iteration=st.iteration,
             cost=cost,
@@ -548,6 +580,65 @@ class RBCDEngine:
                 "undecided": int(und),
             }
         return state, info
+
+    def make_fused_run(self, max_iters: int):
+        """Return a jitted runner executing the FULL solve as one XLA program
+        (`lax.while_loop` over block updates with on-device termination and
+        GNC weight rounds under `lax.cond`) — the TPU-native hot path: zero
+        host round-trips, one dispatch for the entire optimization.
+
+        Not covered here: ``robust_opt_num_resets`` re-initialization (host
+        concern; use ``run()``). Uniform update rule uses the on-device PRNG.
+        """
+        cfg = self.config
+        prob = self.problem
+        gnc = cfg.robust_cost_type == RobustCostType.GNC_TLS
+        inner = cfg.robust_opt_inner_iters_per_robot * prob.num_robots
+        tol = cfg.relative_change_tolerance
+        key0 = jax.random.PRNGKey(cfg.seed)
+
+        def do_iter(st: RBCDState) -> RBCDState:
+            i = st.iteration
+            if gnc:
+                def wu(s):
+                    return self._weight_update_impl(s)
+
+                st = jax.lax.cond(
+                    (i > 0)
+                    & (jnp.mod(i, inner) == 0)
+                    & (st.weight_update_count < cfg.robust_opt_num_weight_updates),
+                    wu,
+                    lambda s: s,
+                    st,
+                )
+            if cfg.update_rule == UpdateRule.PARALLEL:
+                st2, _ = self._step_parallel_impl(
+                    st, jnp.mod(i, self.num_colors)
+                )
+            elif cfg.update_rule == UpdateRule.ROUND_ROBIN:
+                st2, _ = self._step_sequential_impl(
+                    st, jnp.mod(i, prob.num_robots)
+                )
+            else:
+                k = jax.random.randint(
+                    jax.random.fold_in(key0, i), (), 0, prob.num_robots
+                )
+                st2, _ = self._step_sequential_impl(st, k)
+            return st2
+
+        def cond_fn(st: RBCDState):
+            ready = jnp.all(st.rel_change < tol)
+            if gnc:
+                ready = ready & (
+                    st.weight_update_count >= cfg.robust_opt_num_weight_updates
+                )
+            return (st.iteration < max_iters) & ~ready
+
+        @jax.jit
+        def run(st: RBCDState) -> RBCDState:
+            return jax.lax.while_loop(cond_fn, do_iter, st)
+
+        return run
 
     def finalize(self, state: RBCDState) -> Tuple[np.ndarray, RBCDState]:
         """TERMINATE semantics (reference ``PGOAgentROS.cpp:1036-1082``):

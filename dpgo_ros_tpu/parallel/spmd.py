@@ -186,6 +186,8 @@ class SpmdState(NamedTuple):
 
     X: jnp.ndarray  # (M, n_max, r, d+1) sharded on axis 0
     X_prev: jnp.ndarray
+    V: jnp.ndarray  # auxiliary (extrapolated) blocks — the is_auxiliary
+    # PublicPoses stream of the reference
     theta: jnp.ndarray  # (M, 1) per-robot Nesterov scalar
     iteration: jnp.ndarray  # (M, 1) int32 (replicated value per shard)
     rel_change: jnp.ndarray  # (M, 1)
@@ -230,14 +232,14 @@ def build_spmd_step(
         me = jax.lax.axis_index(axis)
         X_own = st.X[0]  # (n_max, r, d+1)
         # --- separator exchange: the PublicPoses analogue -----------------
-        # Single fused all_gather for (X, X_prev): independent collectives
-        # can be scheduled in different orders by per-device executors and
-        # deadlock the in-process CPU rendezvous; one collective also means
-        # one ICI transfer on hardware.
-        both = jnp.stack([X_own, st.X_prev[0]], axis=0)  # (2, n_max, r, d+1)
+        # Single fused all_gather for (X, V): independent collectives can be
+        # scheduled in different orders by per-device executors and deadlock
+        # the in-process CPU rendezvous; one collective also means one ICI
+        # transfer on hardware. V is the is_auxiliary stream.
+        both = jnp.stack([X_own, st.V[0]], axis=0)  # (2, n_max, r, d+1)
         g = jax.lax.all_gather(both, axis)  # (M, 2, n_max, r, d+1)
         Xg = g[:, 0].reshape(M * n_max, sp.r, sp.d + 1)
-        Xp = g[:, 1].reshape(M * n_max, sp.r, sp.d + 1)
+        Vg = g[:, 1].reshape(M * n_max, sp.r, sp.d + 1)
         e = EdgeSet(
             src=c["src"][0],
             dst=c["dst"][0],
@@ -260,29 +262,56 @@ def build_spmd_step(
         P_blocks = quadratic.precond_blocks(e, M * n_max)
 
         if cfg.acceleration:
+            # Accelerated RBCD: solve the block against the *auxiliary*
+            # gathered state Vg (see parallel/rbcd.py::_block_update for the
+            # rationale), guard with the local cost restriction, then
+            # extrapolate the own block's auxiliary value.
             theta = st.theta[0, 0]
             theta_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * theta**2))
-            beta = (theta - 1.0) / theta_new
-            Xw = stiefel.retract_polar(
-                Xg, beta * stiefel.proj_tangent(Xg, mask * (Xg - Xp))
-            )
+            if cfg.acceleration_beta is not None:
+                beta = jnp.asarray(cfg.acceleration_beta, Xg.dtype)
+            else:
+                beta = (theta - 1.0) / theta_new
             f_cur = quadratic.cost(Xg, e)
-            X_acc, res = rtr_solve(Xw, e, mask, P_blocks, rtr)
+            Z, _ = rtr_solve(Vg, e, mask, P_blocks, rtr)
+            X_acc = jnp.where(mask > 0, Z, Xg)
+            f_acc = quadratic.cost(X_acc, e)
+
+            Xp_full = jnp.zeros_like(Xg)
+            Xp_full = jax.lax.dynamic_update_slice(
+                Xp_full, st.X_prev[0], (me * n_max, 0, 0)
+            )
 
             def ok():
-                return X_acc, theta_new
+                Vk = stiefel.retract_polar(
+                    X_acc,
+                    beta
+                    * stiefel.proj_tangent(X_acc, mask * (X_acc - Xp_full)),
+                )
+                V_new = jnp.where(mask > 0, Vk, X_acc)
+                return X_acc, V_new, theta_new
 
             def restart():
                 X_r, _ = rtr_solve(Xg, e, mask, P_blocks, rtr)
-                return X_r, jnp.asarray(1.0, theta.dtype)
+                return X_r, X_r, jnp.asarray(1.0, theta.dtype)
 
-            X_new, theta_out = jax.lax.cond(res.f_opt <= f_cur, ok, restart)
+            X_new, V_full, theta_out = jax.lax.cond(
+                f_acc <= f_cur, ok, restart
+            )
             theta_out = jnp.where(
                 (step_idx + 1) % cfg.restart_interval == 0, 1.0, theta_out
+            )
+            V_own_new = jnp.where(
+                active > 0,
+                jax.lax.dynamic_slice(
+                    V_full, (me * n_max, 0, 0), (n_max, sp.r, sp.d + 1)
+                ),
+                st.V[0],
             )
         else:
             X_new, _ = rtr_solve(Xg, e, mask, P_blocks, rtr)
             theta_out = st.theta[0, 0]
+            V_own_new = None  # set below to own new block
 
         per_pose = jnp.sqrt(jnp.sum((X_new - Xg) ** 2, axis=(-2, -1)))
         rc_own = jnp.max(per_pose * own)
@@ -298,6 +327,8 @@ def build_spmd_step(
         X_own_new = jax.lax.dynamic_slice(
             X_new, (me * n_max, 0, 0), (n_max, sp.r, sp.d + 1)
         )
+        if V_own_new is None:  # unaccelerated: auxiliary tracks the main
+            V_own_new = X_own_new
 
         # --- optional GNC weight round (UPDATE_WEIGHT analogue) ----------
         w = st.weights[0]
@@ -323,6 +354,7 @@ def build_spmd_step(
         return SpmdState(
             X=X_own_new[None],
             X_prev=X_prev_own[None],
+            V=V_own_new[None],
             theta=jnp.asarray(theta_out)[None, None],
             iteration=st.iteration + 1,
             rel_change=jnp.asarray(rc)[None, None],
@@ -331,8 +363,8 @@ def build_spmd_step(
         )
 
     spec_state = SpmdState(
-        X=P(axis), X_prev=P(axis), theta=P(axis), iteration=P(axis),
-        rel_change=P(axis), weights=P(axis), mu=P(axis),
+        X=P(axis), X_prev=P(axis), V=P(axis), theta=P(axis),
+        iteration=P(axis), rel_change=P(axis), weights=P(axis), mu=P(axis),
     )
     spec_consts = {k: P(axis) for k in consts}
 
@@ -352,6 +384,7 @@ def build_spmd_step(
     init = SpmdState(
         X=jnp.asarray(sp.X0),
         X_prev=jnp.asarray(sp.X0),
+        V=jnp.asarray(sp.X0),
         theta=jnp.ones((M, 1), dtype),
         iteration=jnp.zeros((M, 1), jnp.int32),
         rel_change=jnp.full((M, 1), jnp.inf, dtype),
@@ -364,6 +397,7 @@ def build_spmd_step(
             SpmdState(
                 X=NamedSharding(mesh, P(axis)),
                 X_prev=NamedSharding(mesh, P(axis)),
+                V=NamedSharding(mesh, P(axis)),
                 theta=NamedSharding(mesh, P(axis)),
                 iteration=NamedSharding(mesh, P(axis)),
                 rel_change=NamedSharding(mesh, P(axis)),

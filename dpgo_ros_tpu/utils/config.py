@@ -101,6 +101,13 @@ class AgentConfig:
     update_rule: UpdateRule = UpdateRule.UNIFORM
     acceleration: bool = False
     restart_interval: int = 50
+    # guard accelerated steps with a cost-decrease check (adaptive restart)
+    acceleration_safeguard: bool = True
+    # extrapolation coefficient for the auxiliary sequence; None = Nesterov
+    # theta-sequence. Default 0.3 — tuned on 5-robot sphere2500, where it
+    # cuts iterations-to-converge ~245 → ~120 (the reference reports
+    # 240 → 150 for its accelerated mode, README.md:44).
+    acceleration_beta: Optional[float] = 0.3
 
     # robust cost
     robust_cost_type: RobustCostType = RobustCostType.L2
@@ -118,6 +125,8 @@ class AgentConfig:
     # termination
     max_iteration_number: int = 1000
     relative_change_tolerance: float = 0.1
+    # "block_frobenius" (DPGO-calibrated) or "max_pose"
+    relative_change_metric: str = "block_frobenius"
 
     # coordination-layer extensions (reference PGOAgentROS.h:33-119)
     publish_iterate: bool = False
