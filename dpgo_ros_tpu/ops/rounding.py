@@ -36,6 +36,21 @@ def round_solution(X: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([Rr, Xd[:, :, d:]], axis=-1)
 
 
+def round_via_lifting(X: jnp.ndarray, Ylift: jnp.ndarray) -> jnp.ndarray:
+    """Per-pose world-frame recovery through the shared lifting matrix:
+    R_i = proj_SO(YLiftᵀ Y_i), t_i = YLiftᵀ p_i.
+
+    This is how a robot recovers SE(d) poses *locally mid-solve* — the
+    reference's ``getPoseInGlobalFrame`` / ``getTrajectoryInGlobalFrame``
+    (SURVEY.md §2.3) — no global SVD needed. Exact when X = YLift·T; the
+    thin-SVD rounding (``round_solution``) is the final-answer variant.
+    """
+    d = X.shape[-1] - 1
+    Z = jnp.einsum("rd,nrk->ndk", Ylift, X)  # (n, d, d+1)
+    R = project_to_so(Z[:, :, :d])
+    return jnp.concatenate([R, Z[:, :, d:]], axis=-1)
+
+
 def anchor_to_first_pose(T: jnp.ndarray, anchor: jnp.ndarray | None = None) -> jnp.ndarray:
     """Express trajectory relative to its first pose (or a given anchor pose).
 

@@ -1,0 +1,85 @@
+"""Fleet controller: deterministic tick loop over agents + transport.
+
+Replaces the reference's roslaunch + N OS processes + rosmaster (SURVEY.md
+§4 'Multi-node without a cluster'): all agents run in one process over an
+in-memory transport, making the full distributed protocol deterministic and
+unit-testable — including fault injection (kill/partition robots mid-solve)
+that the reference can only exercise live.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from dpgo_ros_tpu.parallel.agent_node import DatasetServer, PGOAgentNode
+from dpgo_ros_tpu.parallel.comm import PerfectTransport, Transport
+from dpgo_ros_tpu.types import PoseGraphData
+from dpgo_ros_tpu.utils.config import AgentConfig
+
+
+class DistributedController:
+    """Owns the fleet. ``run()`` ticks every agent until the round
+    terminates (every agent processed TERMINATE) or ``max_ticks``."""
+
+    def __init__(
+        self,
+        data: PoseGraphData,
+        config: AgentConfig,
+        transport: Optional[Transport] = None,
+    ):
+        self.data = data
+        self.config = config.resolve()
+        self.transport = transport or PerfectTransport(data.num_robots)
+        self.dataset = DatasetServer(data)
+        self.agents: List[PGOAgentNode] = [
+            PGOAgentNode(k, self.config, self.transport, self.dataset)
+            for k in range(data.num_robots)
+        ]
+
+    def run(self, max_ticks: int = 10_000) -> Dict:
+        for t in range(max_ticks):
+            self.transport.tick()
+            for a in self.agents:
+                if not _is_dead(self.transport, a.id):
+                    a.runOnce()
+            if all(a.terminated for a in self.agents if not _is_dead(self.transport, a.id)):
+                break
+        trajs = {
+            a.id: a.final_trajectory
+            for a in self.agents
+            if getattr(a, "final_trajectory", None) is not None
+        }
+        return {
+            "ticks": t + 1,
+            "terminated": [a.terminated for a in self.agents],
+            "trajectories": trajs,
+            "iterations": {
+                a.id: getattr(a, "final_iterations", a.solved_iterations)
+                for a in self.agents
+            },
+            "messages_sent": self.transport.messages_sent,
+            "bytes_received": dict(self.transport.bytes_delivered),
+            "active_robots": getattr(
+                self.agents[0],
+                "final_active",
+                sorted(self.agents[0].active_robots),
+            ),
+            "weights": {
+                a.id: getattr(a, "final_weights", None) for a in self.agents
+            },
+        }
+
+    def global_trajectory(self, result: Dict) -> Optional[np.ndarray]:
+        """Concatenate per-robot world trajectories (robots 0..R-1)."""
+        trajs = result["trajectories"]
+        if not trajs:
+            return None
+        return np.concatenate(
+            [trajs[k] for k in sorted(trajs.keys())], axis=0
+        )
+
+
+def _is_dead(transport: Transport, robot_id: int) -> bool:
+    return robot_id in getattr(transport, "dead", set())

@@ -4,35 +4,22 @@ Multi-chip TPU hardware is unavailable in CI; sharding correctness is
 validated on `xla_force_host_platform_device_count=8` CPU devices (the
 driver separately dry-runs the multi-chip path via __graft_entry__).
 
-NOTE: this host injects a tunneled-TPU PJRT plugin into every interpreter via
-PYTHONPATH sitecustomize, which overrides JAX_PLATFORMS — so the conftest
-re-execs pytest once with a stripped environment to get real local CPU
-devices (fast local compiles, deterministic fp64).
+This host injects a tunneled-TPU PJRT plugin (sitecustomize on PYTHONPATH)
+and sets JAX_PLATFORMS=axon; `jax.config.update("jax_platforms", "cpu")`
+overrides both in-process, giving local CPU devices with fast local compiles.
 """
 
 import os
-import sys
 
-if os.environ.get("DPGO_TPU_CPU_REEXEC") != "1" and (
-    "axon" in os.environ.get("PYTHONPATH", "")
-    or os.environ.get("JAX_PLATFORMS", "") != "cpu"
-):
-    env = dict(os.environ)
-    env["PYTHONPATH"] = ""
-    env["JAX_PLATFORMS"] = "cpu"
-    flags = env.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        env["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8"
-        ).strip()
-    env["DPGO_TPU_CPU_REEXEC"] = "1"
-    os.execve(sys.executable, [sys.executable] + sys.argv, env)
-
-os.environ.setdefault(
-    "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
-)
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 # fp64 for numeric golden tests (the reference solver is double-precision
 # Eigen); production TPU path runs fp32 — dtype is a parameter throughout.
