@@ -47,13 +47,21 @@ BASELINE_ITERS_PER_SEC = 10.0
 NUM_ITERS = 100
 
 
+def log(msg):
+    print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
+    log(f"backend={platform} devices={jax.devices()}")
     data = load_g2o_dataset("sphere2500", num_robots=5)
     prob = LiftedProblem.from_data(data, r=5, dtype=jnp.float32)
     cfg = AgentConfig(
         num_robots=5,
         update_rule=UpdateRule.ROUND_ROBIN,
-        local_initialization_method=InitMethod.CHORDAL,
+        # odometry init: cheap fixed-shape programs (chordal init spawns many
+        # per-robot-shape compiles — expensive over the remote-compile path
+        # and irrelevant for a throughput metric)
+        local_initialization_method=InitMethod.ODOMETRY,
         relative_change_tolerance=0.0,  # fixed-length run for clean timing
         max_iteration_number=NUM_ITERS,
         RTR_iterations=3,
@@ -62,13 +70,16 @@ def main():
         dtype="float32",
     )
     eng = RBCDEngine(prob, cfg)
+    log("initializing (odometry + frame alignment)")
     st = eng.initialize()
     f_init = float(st.cost)
+    log(f"init done, cost={f_init:.1f}; compiling fused runner")
     run = eng.make_fused_run(NUM_ITERS)
 
     # compile + warmup (excluded from timing)
     warm = run(st)
     warm.cost.block_until_ready()
+    log(f"warmup done ({int(warm.iteration)} iters); timing")
 
     t0 = time.time()
     out = run(st)

@@ -1,0 +1,329 @@
+"""Command-line entry point — the reference's launch-file layer (SURVEY.md
+§1-L6, §6).
+
+Demo configs mirror the reference launch files:
+
+* ``dpgo_demo``  — 5-robot sphere2500, synchronous RBCD, RoundRobin, chordal
+  init, rel-change tol 0.2 (``launch/dpgo_demo.launch``)
+* ``asapp_demo`` — 5-robot sphere2500, asynchronous RGD stepsize 0.2
+  (``launch/asapp_demo.launch``)
+* ``dpgo_gnc_demo`` — 8-robot tunnels, GNC_TLS barc 3.0, 3 weight updates ×
+  50 inner iters (``launch/dpgo_gnc_demo.launch``)
+
+Every reference parameter (``launch/PGOAgent.launch:9-50``) is exposed as a
+flag with the same name and default.
+
+Examples::
+
+  python -m dpgo_ros_tpu.cli --demo dpgo_demo --output /tmp/out
+  python -m dpgo_ros_tpu.cli --g2o data/sphere2500.g2o --num_robots 5 \
+      --update_rule RoundRobin --acceleration true
+  python -m dpgo_ros_tpu.cli --demo dpgo_demo --mode fleet   # full protocol
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _bool(v: str) -> bool:
+    return str(v).lower() in ("1", "true", "yes", "on")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="dpgo_ros_tpu",
+        description="TPU-native distributed pose-graph optimization",
+    )
+    p.add_argument("--demo", choices=["dpgo_demo", "asapp_demo", "dpgo_gnc_demo"])
+    p.add_argument("--g2o", help="path to a g2o dataset file")
+    p.add_argument("--dataset", help="bundled dataset name (e.g. sphere2500)")
+    p.add_argument("--csv", nargs="*", help="per-robot measurements.csv paths")
+    p.add_argument(
+        "--mode",
+        choices=["engine", "fused", "fleet", "spmd"],
+        default="engine",
+        help="engine: host-driven solver; fused: single XLA program; "
+        "fleet: full distributed protocol simulation; spmd: device mesh",
+    )
+    p.add_argument("--output", help="output prefix for trajectory export")
+    p.add_argument("--platform", choices=["cpu", "tpu"], default="tpu")
+    p.add_argument("--cpu_devices", type=int, default=8)
+
+    # reference parameter surface (launch/PGOAgent.launch:9-50)
+    p.add_argument("--num_robots", type=int, default=1)
+    p.add_argument("--dimension", type=int, default=3)
+    p.add_argument("--relaxation_rank", type=int, default=5)
+    p.add_argument("--asynchronous", type=_bool, default=False)
+    p.add_argument("--asynchronous_rate", type=float, default=10.0)
+    p.add_argument("--RGD_stepsize", type=float, default=1e-3)
+    p.add_argument("--RGD_use_preconditioner", type=_bool, default=True)
+    p.add_argument("--RTR_iterations", type=int, default=3)
+    p.add_argument("--RTR_tCG_iterations", type=int, default=50)
+    p.add_argument("--RTR_gradnorm_tol", type=float, default=1e-2)
+    p.add_argument(
+        "--local_initialization_method",
+        choices=["Odometry", "Chordal", "GNC_TLS"],
+        default="Odometry",
+    )
+    p.add_argument(
+        "--update_rule",
+        choices=["Uniform", "RoundRobin", "Parallel"],
+        default="Uniform",
+    )
+    p.add_argument("--multirobot_initialization", type=_bool, default=True)
+    p.add_argument("--acceleration", type=_bool, default=False)
+    p.add_argument("--restart_interval", type=int, default=50)
+    p.add_argument(
+        "--robust_cost_type",
+        choices=["L2", "L1", "Huber", "TLS", "GM", "GNC_TLS"],
+        default="L2",
+    )
+    p.add_argument("--GNC_use_probability", type=_bool, default=True)
+    p.add_argument("--GNC_quantile", type=float, default=0.9)
+    p.add_argument("--GNC_barc", type=float, default=5.0)
+    p.add_argument("--GNC_mu_step", type=float, default=2.0)
+    p.add_argument("--GNC_init_mu", type=float, default=1e-5)
+    p.add_argument("--robust_opt_num_weight_updates", type=int, default=4)
+    p.add_argument("--robust_opt_num_resets", type=int, default=0)
+    p.add_argument("--robust_opt_min_convergence_ratio", type=float, default=0.0)
+    p.add_argument("--robust_opt_inner_iters_per_robot", type=int, default=10)
+    p.add_argument("--robust_init_min_inliers", type=int, default=5)
+    p.add_argument("--max_iteration_number", type=int, default=1000)
+    p.add_argument("--relative_change_tolerance", type=float, default=0.1)
+    p.add_argument("--log_directory")
+    p.add_argument("--publish_iterate", type=_bool, default=False)
+    p.add_argument("--visualize_loop_closures", type=_bool, default=False)
+    p.add_argument("--complete_reset", type=_bool, default=False)
+    p.add_argument("--enable_recovery", type=_bool, default=False)
+    p.add_argument("--synchronize_measurements", type=_bool, default=True)
+    p.add_argument("--max_distributed_init_steps", type=int, default=30)
+    p.add_argument("--inter_update_sleep_time", type=float, default=0.0)
+    p.add_argument("--weight_convergence_threshold", type=float, default=-1.0)
+    p.add_argument("--max_delayed_iterations", type=int, default=0)
+    p.add_argument("--timeout_threshold", type=float, default=15.0)
+    p.add_argument("--verbose", type=_bool, default=False)
+    p.add_argument("--dtype", choices=["float32", "float64"], default="float32")
+    p.add_argument("--seed", type=int, default=42)
+    return p
+
+
+def args_to_config(a):
+    from dpgo_ros_tpu.utils.config import (
+        AgentConfig,
+        InitMethod,
+        RobustCostType,
+        UpdateRule,
+    )
+
+    return AgentConfig(
+        num_robots=a.num_robots,
+        dimension=a.dimension,
+        relaxation_rank=a.relaxation_rank,
+        asynchronous=a.asynchronous,
+        asynchronous_rate=a.asynchronous_rate,
+        RGD_stepsize=a.RGD_stepsize,
+        RGD_use_preconditioner=a.RGD_use_preconditioner,
+        RTR_iterations=a.RTR_iterations,
+        RTR_tCG_iterations=a.RTR_tCG_iterations,
+        RTR_gradnorm_tol=a.RTR_gradnorm_tol,
+        local_initialization_method=InitMethod(a.local_initialization_method),
+        update_rule=UpdateRule(a.update_rule),
+        multirobot_initialization=a.multirobot_initialization,
+        acceleration=a.acceleration,
+        restart_interval=a.restart_interval,
+        robust_cost_type=RobustCostType(a.robust_cost_type),
+        GNC_use_probability=a.GNC_use_probability,
+        GNC_quantile=a.GNC_quantile,
+        GNC_barc=a.GNC_barc,
+        GNC_mu_step=a.GNC_mu_step,
+        GNC_init_mu=a.GNC_init_mu,
+        robust_opt_num_weight_updates=a.robust_opt_num_weight_updates,
+        robust_opt_num_resets=a.robust_opt_num_resets,
+        robust_opt_min_convergence_ratio=a.robust_opt_min_convergence_ratio,
+        robust_opt_inner_iters_per_robot=a.robust_opt_inner_iters_per_robot,
+        robust_init_min_inliers=a.robust_init_min_inliers,
+        max_iteration_number=a.max_iteration_number,
+        relative_change_tolerance=a.relative_change_tolerance,
+        publish_iterate=a.publish_iterate,
+        visualize_loop_closures=a.visualize_loop_closures,
+        complete_reset=a.complete_reset,
+        enable_recovery=a.enable_recovery,
+        synchronize_measurements=a.synchronize_measurements,
+        max_distributed_init_steps=a.max_distributed_init_steps,
+        inter_update_sleep_time=a.inter_update_sleep_time,
+        weight_convergence_threshold=a.weight_convergence_threshold,
+        max_delayed_iterations=a.max_delayed_iterations,
+        timeout_threshold=a.timeout_threshold,
+        log_directory=a.log_directory,
+        verbose=a.verbose,
+        dtype=a.dtype,
+        seed=a.seed,
+    )
+
+
+def apply_demo(a) -> None:
+    """Apply a demo preset (reference launch files, SURVEY.md §6)."""
+    if a.demo == "dpgo_demo":
+        a.dataset = a.dataset or "sphere2500"
+        a.num_robots = 5
+        a.update_rule = "RoundRobin"
+        a.local_initialization_method = "Chordal"
+        a.relative_change_tolerance = 0.2
+        a.RTR_gradnorm_tol = 0.5
+    elif a.demo == "asapp_demo":
+        a.dataset = a.dataset or "sphere2500"
+        a.num_robots = 5
+        a.asynchronous = True
+        a.asynchronous_rate = 100.0
+        a.RGD_stepsize = 0.2
+        a.local_initialization_method = "Chordal"
+        a.max_delayed_iterations = max(a.max_delayed_iterations, 3)
+    elif a.demo == "dpgo_gnc_demo":
+        a.num_robots = 8
+        a.robust_cost_type = "GNC_TLS"
+        a.GNC_use_probability = False
+        a.GNC_barc = 3.0
+        a.robust_init_min_inliers = 3
+        a.robust_opt_num_weight_updates = 3
+        a.robust_opt_num_resets = 3
+        a.robust_opt_inner_iters_per_robot = 50
+        a.update_rule = "RoundRobin"
+        a.local_initialization_method = "Odometry"
+        a.relative_change_tolerance = 0.2
+        a.RTR_gradnorm_tol = 0.5
+        a.synchronize_measurements = False
+
+
+def main(argv=None) -> int:
+    a = build_parser().parse_args(argv)
+    if a.demo:
+        apply_demo(a)
+
+    if a.platform == "cpu":
+        from dpgo_ros_tpu.utils.hostenv import ensure_cpu_devices
+
+        ensure_cpu_devices(a.cpu_devices)
+    import jax
+    import jax.numpy as jnp
+
+    from dpgo_ros_tpu.io.csv_loader import load_multi_robot_csv
+    from dpgo_ros_tpu.io.datasets import load_g2o_dataset, load_tunnels
+    from dpgo_ros_tpu.io.partition import partition_g2o
+    from dpgo_ros_tpu.models.problem import LiftedProblem
+    from dpgo_ros_tpu.parallel.rbcd import RBCDEngine
+    from dpgo_ros_tpu.utils import export
+
+    cfg = args_to_config(a)
+
+    # dataset resolution
+    if a.csv:
+        data = load_multi_robot_csv(a.csv)
+    elif a.g2o:
+        data = partition_g2o(a.g2o, a.num_robots)
+    elif a.dataset:
+        data = load_g2o_dataset(a.dataset, num_robots=a.num_robots)
+    elif a.demo == "dpgo_gnc_demo":
+        data = load_tunnels(num_robots=a.num_robots)
+    else:
+        print("error: provide --demo, --dataset, --g2o or --csv", file=sys.stderr)
+        return 2
+    cfg = dataclasses.replace(cfg, num_robots=data.num_robots)
+
+    t0 = time.time()
+    summary = {}
+    if a.mode == "fleet":
+        from dpgo_ros_tpu.parallel.controller import DistributedController
+
+        ctl = DistributedController(data, cfg)
+        res = ctl.run()
+        T = ctl.global_trajectory(res)
+        summary = {
+            "mode": "fleet",
+            "ticks": res["ticks"],
+            "iterations": res["iterations"],
+            "messages_sent": res["messages_sent"],
+        }
+    elif a.mode == "spmd":
+        from jax.sharding import Mesh
+
+        from dpgo_ros_tpu.parallel.spmd import (
+            ShardedProblem,
+            build_spmd_step,
+            gather_trajectory,
+        )
+        from dpgo_ros_tpu.ops import rounding
+
+        prob = LiftedProblem.from_data(
+            data, r=cfg.relaxation_rank, dtype=jnp.float32
+        )
+        eng = RBCDEngine(prob, cfg)
+        st0 = eng.initialize()
+        sp = ShardedProblem.build(
+            prob,
+            np.asarray(st0.X, np.float32),
+            eng.robot_colors,
+            num_devices=min(len(jax.devices()), max(data.num_robots, 1)),
+        )
+        mesh = Mesh(np.array(jax.devices()[: sp.M]), ("robots",))
+        st, step = build_spmd_step(sp, mesh, cfg)
+        for it in range(cfg.max_iteration_number):
+            st = step(np.int32(it), np.int32(0), st)
+            if it % 20 == 19:
+                rc = float(np.max(np.asarray(st.rel_change)))
+                if rc < cfg.relative_change_tolerance:
+                    break
+        Xg = gather_trajectory(sp, st, prob.num_poses)
+        T = np.asarray(
+            rounding.anchor_to_first_pose(
+                rounding.round_solution(jnp.asarray(Xg))
+            )
+        )
+        summary = {"mode": "spmd", "iterations": it + 1, "devices": sp.M}
+    else:
+        prob = LiftedProblem.from_data(
+            data,
+            r=cfg.relaxation_rank,
+            dtype=jnp.float64 if cfg.dtype == "float64" else jnp.float32,
+        )
+        eng = RBCDEngine(prob, cfg)
+        st = eng.initialize()
+        if a.mode == "fused":
+            run = eng.make_fused_run(cfg.max_iteration_number)
+            st = run(st)
+            info = {
+                "iterations": int(st.iteration),
+                "final_cost": float(st.cost),
+            }
+        else:
+            st, info = eng.run(st)
+        T, st = eng.finalize(st)
+        summary = {
+            "mode": a.mode,
+            "iterations": info["iterations"],
+            "final_cost": info["final_cost"],
+        }
+    summary["wall_time_sec"] = round(time.time() - t0, 3)
+    print(json.dumps(summary))
+
+    if a.output and T is not None:
+        export.export_solution(
+            a.output,
+            np.asarray(T),
+            data.num_poses,
+            data.measurements,
+            np.ones(len(data.measurements)),
+        )
+        print(f"wrote {a.output}_global.g2o and per-robot TUM files",
+              file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -230,6 +230,8 @@ def build_spmd_step(
     def shard_body(step_idx, do_weight_update, st, c):
         """Runs per device with leading M axis stripped to size 1."""
         me = jax.lax.axis_index(axis)
+        z = jnp.zeros((), me.dtype)  # index literals must match me's dtype
+        start = me * n_max
         X_own = st.X[0]  # (n_max, r, d+1)
         # --- separator exchange: the PublicPoses analogue -----------------
         # Single fused all_gather for (X, V): independent collectives can be
@@ -256,7 +258,7 @@ def build_spmd_step(
         active = (my_color == step_idx % sp.num_colors).astype(Xg.dtype)
         own = jnp.zeros((M * n_max,), Xg.dtype)
         own = jax.lax.dynamic_update_slice(
-            own, c["pose_valid"][0] * active, (me * n_max,)
+            own, c["pose_valid"][0] * active, (start,)
         )
         mask = own[:, None, None]
         P_blocks = quadratic.precond_blocks(e, M * n_max)
@@ -279,7 +281,7 @@ def build_spmd_step(
 
             Xp_full = jnp.zeros_like(Xg)
             Xp_full = jax.lax.dynamic_update_slice(
-                Xp_full, st.X_prev[0], (me * n_max, 0, 0)
+                Xp_full, st.X_prev[0], (start, z, z)
             )
 
             def ok():
@@ -304,7 +306,7 @@ def build_spmd_step(
             V_own_new = jnp.where(
                 active > 0,
                 jax.lax.dynamic_slice(
-                    V_full, (me * n_max, 0, 0), (n_max, sp.r, sp.d + 1)
+                    V_full, (start, z, z), (n_max, sp.r, sp.d + 1)
                 ),
                 st.V[0],
             )
@@ -320,12 +322,12 @@ def build_spmd_step(
         X_prev_own = jnp.where(
             active > 0,
             jax.lax.dynamic_slice(
-                Xg, (me * n_max, 0, 0), (n_max, sp.r, sp.d + 1)
+                Xg, (start, z, z), (n_max, sp.r, sp.d + 1)
             ),
             st.X_prev[0],
         )
         X_own_new = jax.lax.dynamic_slice(
-            X_new, (me * n_max, 0, 0), (n_max, sp.r, sp.d + 1)
+            X_new, (start, z, z), (n_max, sp.r, sp.d + 1)
         )
         if V_own_new is None:  # unaccelerated: auxiliary tracks the main
             V_own_new = X_own_new

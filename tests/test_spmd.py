@@ -1,0 +1,122 @@
+"""SPMD device-mesh tests on the virtual 8-device CPU mesh (SURVEY.md §7
+step 8: multi-host path validated via xla_force_host_platform_device_count)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from dpgo_ros_tpu.io.datasets import load_g2o_dataset
+from dpgo_ros_tpu.models.problem import LiftedProblem
+from dpgo_ros_tpu.ops import quadratic
+from dpgo_ros_tpu.parallel.rbcd import RBCDEngine
+from dpgo_ros_tpu.parallel.spmd import (
+    ShardedProblem,
+    build_spmd_step,
+    gather_trajectory,
+)
+from dpgo_ros_tpu.utils.config import (
+    AgentConfig,
+    InitMethod,
+    RobustCostType,
+    UpdateRule,
+)
+
+
+def _setup(num_robots, **cfg_kw):
+    data = load_g2o_dataset("smallGrid3D", num_robots=num_robots)
+    prob = LiftedProblem.from_data(data, r=5, dtype=jnp.float32)
+    cfg = AgentConfig(
+        num_robots=num_robots,
+        update_rule=UpdateRule.PARALLEL,
+        local_initialization_method=InitMethod.ODOMETRY,
+        RTR_gradnorm_tol=0.5,
+        dtype="float32",
+        **cfg_kw,
+    )
+    eng = RBCDEngine(prob, cfg)
+    st0 = eng.initialize()
+    sp = ShardedProblem.build(
+        prob,
+        np.asarray(st0.X, np.float32),
+        eng.robot_colors,
+        num_devices=num_robots,
+    )
+    mesh = Mesh(np.array(jax.devices()[:num_robots]), ("robots",))
+    init, step = build_spmd_step(sp, mesh, cfg)
+    return data, prob, eng, st0, sp, init, step
+
+
+def test_spmd_matches_centralized_cost():
+    data, prob, eng, st0, sp, st, step = _setup(8)
+    for it in range(60):
+        st = step(np.int32(it), np.int32(0), st)
+        st.X.block_until_ready()
+    Xg = gather_trajectory(sp, st, prob.num_poses)
+    f = float(
+        quadratic.cost(jnp.asarray(Xg, jnp.float64), eng._edges(st0.weights))
+    )
+    # centralized fp64 optimum is ~1025.4
+    assert f < 1025.4 * 1.01
+
+
+def test_spmd_accelerated_runs_and_descends():
+    data, prob, eng, st0, sp, st, step = _setup(8, acceleration=True)
+    f0 = float(quadratic.cost(st0.X, eng._edges(st0.weights)))
+    for it in range(30):
+        st = step(np.int32(it), np.int32(0), st)
+        st.X.block_until_ready()
+    Xg = gather_trajectory(sp, st, prob.num_poses)
+    f = float(
+        quadratic.cost(jnp.asarray(Xg, jnp.float64), eng._edges(st0.weights))
+    )
+    assert f < 0.1 * f0
+    assert np.all(np.isfinite(np.asarray(st.X)))
+
+
+def test_spmd_gnc_weight_round():
+    data, prob, eng, st0, sp, st, step = _setup(
+        4,
+        robust_cost_type=RobustCostType.GNC_TLS,
+        GNC_use_probability=False,
+        GNC_barc=3.0,
+    )
+    for it in range(10):
+        st = step(np.int32(it), np.int32(0), st)
+    st = step(np.int32(10), np.int32(1), st)  # weight round
+    st.X.block_until_ready()
+    w = np.asarray(st.weights)
+    assert np.all((w >= 0) & (w <= 1))
+    mu = float(np.asarray(st.mu)[0, 0])
+    assert mu > 1e-5  # mu advanced
+
+
+def test_spmd_more_devices_than_robots():
+    """Empty mesh slots (8 devices, 5 robots) must be inert."""
+    data = load_g2o_dataset("smallGrid3D", num_robots=5)
+    prob = LiftedProblem.from_data(data, r=5, dtype=jnp.float32)
+    cfg = AgentConfig(
+        num_robots=5,
+        update_rule=UpdateRule.PARALLEL,
+        local_initialization_method=InitMethod.ODOMETRY,
+        RTR_gradnorm_tol=0.5,
+        dtype="float32",
+    )
+    eng = RBCDEngine(prob, cfg)
+    st0 = eng.initialize()
+    sp = ShardedProblem.build(
+        prob, np.asarray(st0.X, np.float32), eng.robot_colors, num_devices=8
+    )
+    mesh = Mesh(np.array(jax.devices()[:8]), ("robots",))
+    st, step = build_spmd_step(sp, mesh, cfg)
+    for it in range(20):
+        st = step(np.int32(it), np.int32(0), st)
+        st.X.block_until_ready()
+    Xg = gather_trajectory(sp, st, prob.num_poses)
+    f = float(
+        quadratic.cost(jnp.asarray(Xg, jnp.float64), eng._edges(st0.weights))
+    )
+    f0 = float(quadratic.cost(st0.X, eng._edges(st0.weights)))
+    assert f < 0.05 * f0
+    assert np.all(np.isfinite(np.asarray(st.X)))
