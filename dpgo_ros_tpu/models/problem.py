@@ -61,6 +61,9 @@ class LiftedProblem:
             return out
 
         is_loop = (m.edge_type != EdgeType.ODOMETRY) & (~m.fixed_weight)
+        from dpgo_ros_tpu.ops.quadratic import build_pull_index
+
+        pull = build_pull_index(src, dst, data.total_poses, num_edge_rows=Epad)
         edges = EdgeSet(
             src=jnp.asarray(pad1(src.astype(np.int32))),
             dst=jnp.asarray(pad1(dst.astype(np.int32))),
@@ -73,6 +76,7 @@ class LiftedProblem:
                 np.concatenate([np.ones(E), np.zeros(Epad - E)]), dtype
             ),
             is_loop=jnp.asarray(pad1(is_loop.astype(np.float64)), dtype),
+            pull=jnp.asarray(pull),
         )
         robot_of_pose = np.repeat(
             np.arange(data.num_robots, dtype=np.int32), data.num_poses

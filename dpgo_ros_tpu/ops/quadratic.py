@@ -23,10 +23,11 @@ Padded edges (mask 0, src=dst=0) contribute exactly zero to every operator.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dpgo_ros_tpu.ops import stiefel
 
@@ -40,6 +41,14 @@ class EdgeSet:
     concatenated). ``weight`` is the robust (GNC) weight; ``mask`` zeroes
     padding edges. ``is_loop`` marks non-odometry edges (eligible for GNC
     reweighting — odometry is fixedWeight per reference ``utils.cpp:141-149``).
+
+    ``pull`` (optional, (n, D) int32) is the transpose-incidence gather
+    index: row i lists the contribution rows of pose i's incident edges
+    (edge k as src ↦ k; edge k as dst ↦ E + k; padding ↦ 2E). When present,
+    every accumulation uses gather-sum instead of scatter-add — scatter
+    serializes on the TPU and dominates the Hessian-op cost; the pull path
+    is pure gathers, which the TPU does at HBM bandwidth. Build with
+    :func:`build_pull_index`.
     """
 
     src: jnp.ndarray  # (E,) int32
@@ -51,6 +60,7 @@ class EdgeSet:
     weight: jnp.ndarray  # (E,)
     mask: jnp.ndarray  # (E,) 1.0 real / 0.0 padding
     is_loop: jnp.ndarray  # (E,) 1.0 if GNC-adjustable loop closure
+    pull: Optional[jnp.ndarray] = None  # (n, D) int32 gather index
 
     @property
     def d(self) -> int:
@@ -64,6 +74,42 @@ class EdgeSet:
         """(κ_eff, τ_eff) = mask * weight * (κ, τ)."""
         w = self.mask * self.weight
         return w * self.kappa, w * self.tau
+
+
+def build_pull_index(
+    src, dst, n: int, num_edge_rows: Optional[int] = None
+) -> np.ndarray:
+    """Host-side build of the (n, D) transpose-incidence gather index.
+
+    Row i lists contribution rows for pose i (edge k as src ↦ k, edge k as
+    dst ↦ Epad + k), padded with 2·Epad (a zero row). ``num_edge_rows`` is
+    the *padded* edge count Epad when src/dst cover only real edges.
+    D = max pose degree.
+    """
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    E = src.shape[0]
+    Epad = num_edge_rows or E
+    lists = [[] for _ in range(n)]
+    for k in range(E):
+        lists[int(src[k])].append(k)
+        lists[int(dst[k])].append(Epad + k)
+    D = max(1, max(len(l) for l in lists))
+    out = np.full((n, D), 2 * Epad, np.int32)
+    for i, l in enumerate(lists):
+        out[i, : len(l)] = l
+    return out
+
+
+def _pull_sum(contrib_src: jnp.ndarray, contrib_dst: jnp.ndarray, pull: jnp.ndarray) -> jnp.ndarray:
+    """Accumulate per-edge contributions into per-pose sums via gather-sum.
+
+    contrib_src/contrib_dst: (E, ...) contributions to the src/dst endpoint.
+    Returns (n, ...). Pure gathers — no scatter (which serializes on TPU).
+    """
+    zero = jnp.zeros((1,) + contrib_src.shape[1:], contrib_src.dtype)
+    C = jnp.concatenate([contrib_src, contrib_dst, zero], axis=0)  # (2E+1, ...)
+    return jnp.sum(C[pull], axis=1)  # (n, D, ...) -> (n, ...)
 
 
 def residuals(X: jnp.ndarray, e: EdgeSet) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -110,6 +156,8 @@ def egrad(X: jnp.ndarray, e: EdgeSet) -> jnp.ndarray:
     # contributions to dst pose j: +kr1 on Y, +tr2 on p
     gj = jnp.concatenate([kr1, tr2[..., None]], axis=-1)
 
+    if e.pull is not None:
+        return _pull_sum(gi, gj, e.pull)
     G = jnp.zeros_like(X)
     G = G.at[e.src].add(gi)
     G = G.at[e.dst].add(gj)
@@ -176,9 +224,12 @@ def precond_blocks(e: EdgeSet, n: int, damping: float = 1e-2) -> jnp.ndarray:
     Djj = Djj.at[:, :d, :d].set(kw[:, None, None] * I)
     Djj = Djj.at[:, d, d].set(tw)
 
-    D = jnp.zeros((n, d + 1, d + 1), e.R.dtype)
-    D = D.at[e.src].add(Dii)
-    D = D.at[e.dst].add(Djj)
+    if e.pull is not None:
+        D = _pull_sum(Dii, Djj, e.pull)
+    else:
+        D = jnp.zeros((n, d + 1, d + 1), e.R.dtype)
+        D = D.at[e.src].add(Dii)
+        D = D.at[e.dst].add(Djj)
     # damping keeps isolated/padded poses invertible and bounds conditioning
     scale = jnp.maximum(
         jnp.trace(D, axis1=-2, axis2=-1)[:, None, None] / (d + 1), 1.0

@@ -948,7 +948,19 @@ class PGOAgentNode:
             w = np.array(self.edges.weight)
             loops = np.asarray(self.edges.is_loop) > 0
             und = loops & (w > 1e-6) & (w < 1 - 1e-6)
-            w[und] = 0.0
+            if self.config.gnc_finalize_by_residual and und.any() and (
+                self.X is not None and self.Ylift is not None
+            ):
+                T_all = self._world_trajectory_with_neighbors()
+                e = dataclasses.replace(self.edges, mask=self._edge_mask())
+                r = np.asarray(
+                    robust.measurement_residuals(
+                        jnp.asarray(T_all, self.dtype), e
+                    )
+                )
+                w[und] = (r[und] <= self.config.GNC_barc).astype(float)
+            else:
+                w[und] = 0.0
             m = self.measurements
             self.cached_weights = {
                 (

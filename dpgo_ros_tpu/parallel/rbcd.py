@@ -642,14 +642,27 @@ class RBCDEngine:
 
     def finalize(self, state: RBCDState) -> Tuple[np.ndarray, RBCDState]:
         """TERMINATE semantics (reference ``PGOAgentROS.cpp:1036-1082``):
-        reject undecided GNC weights, round to SE(d), anchor first pose."""
+        resolve undecided GNC weights (by final residual when
+        ``gnc_finalize_by_residual``, else reject), round to SE(d), anchor
+        the first pose."""
         if self.config.robust_cost_type == RobustCostType.GNC_TLS:
             und = (
                 (self.problem.edges.is_loop > 0)
                 & (state.weights > 1e-6)
                 & (state.weights < 1.0 - 1e-6)
             )
-            w = jnp.where(und, 0.0, state.weights)
+            if self.config.gnc_finalize_by_residual:
+                T = rounding.round_solution(state.X)
+                r = robust.measurement_residuals(
+                    T, self._edges(state.weights)
+                )
+                w = jnp.where(
+                    und,
+                    (r <= self.config.GNC_barc).astype(state.weights.dtype),
+                    state.weights,
+                )
+            else:
+                w = jnp.where(und, 0.0, state.weights)
             state = state._replace(weights=w)
         T = rounding.round_solution(state.X)
         T = rounding.anchor_to_first_pose(T)

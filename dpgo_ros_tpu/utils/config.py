@@ -121,6 +121,13 @@ class AgentConfig:
     robust_opt_min_convergence_ratio: float = 0.0
     robust_opt_inner_iters_per_robot: int = 10
     robust_init_min_inliers: int = 5
+    # At TERMINATE, classify still-undecided GNC weights by the final
+    # residual against barc instead of rejecting them wholesale. With the
+    # reference demo budget (3 weight updates × mu_step 2 from mu=1e-5) the
+    # TLS weights cannot binarize — w_mid ≈ √mu · barc/r — so the reference's
+    # "reject undecided" rule would reject every loop closure; thresholding
+    # the final residuals recovers the intended inlier/outlier split.
+    gnc_finalize_by_residual: bool = True
 
     # termination
     max_iteration_number: int = 1000

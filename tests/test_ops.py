@@ -159,6 +159,29 @@ def test_precond_blocks_match_operator_diagonal(tiny):
         assert jnp.max(jnp.abs(QV[i, 0] - P[i, col])) < 1e-8
 
 
+def test_pull_path_matches_scatter(tiny):
+    """The gather-sum ('pull') accumulation must equal scatter-add exactly,
+    including under edge padding."""
+    import dataclasses
+
+    from dpgo_ros_tpu.io.datasets import load_g2o_dataset
+    from dpgo_ros_tpu.models.problem import LiftedProblem
+
+    for pad in (None, 40):
+        data = load_g2o_dataset("tinyGrid3D", num_robots=2)
+        prob = LiftedProblem.from_data(data, r=5, pad_edges_to=pad)
+        assert prob.edges.pull is not None
+        e_pull = prob.edges
+        e_scat = dataclasses.replace(prob.edges, pull=None)
+        X = _random_X(jax.random.PRNGKey(12), prob.n, prob.r, prob.d)
+        g1 = quadratic.egrad(X, e_pull)
+        g2 = quadratic.egrad(X, e_scat)
+        assert jnp.max(jnp.abs(g1 - g2)) < 1e-10
+        P1 = quadratic.precond_blocks(e_pull, prob.n)
+        P2 = quadratic.precond_blocks(e_scat, prob.n)
+        assert jnp.max(jnp.abs(P1 - P2)) < 1e-10
+
+
 def test_precond_solve_roundtrip(tiny):
     P = quadratic.precond_blocks(tiny.edges, tiny.n)
     V = jax.random.normal(jax.random.PRNGKey(10), (tiny.n, tiny.r, tiny.d + 1))
