@@ -71,9 +71,13 @@ def _masked_rgrad(X, e: EdgeSet, mask):
     return mask * quadratic.rgrad(X, e)
 
 
-def _masked_precond(P, X, V, mask):
-    """Tangent-projected, masked application of the block-Jacobi inverse."""
-    W = quadratic.precond_solve(P, V)
+def _masked_precond(Pinv, X, V, mask):
+    """Tangent-projected, masked application of the block-Jacobi inverse.
+
+    ``Pinv`` is the precomputed inverse (``quadratic.precond_inverse``) —
+    application is one batched matmul; factorizing per tCG iteration was the
+    dominant per-update cost on TPU."""
+    W = quadratic.precond_apply(Pinv, V)
     return mask * stiefel.proj_tangent(X, W)
 
 
@@ -81,16 +85,16 @@ def rgd_step(
     X: jnp.ndarray,
     e: EdgeSet,
     mask: jnp.ndarray,
-    P: jnp.ndarray | None,
+    Pinv: jnp.ndarray | None,
     params: RGDParams,
 ) -> jnp.ndarray:
     """One preconditioned Riemannian gradient step on the masked block."""
     g = _masked_rgrad(X, e, mask)
-    if params.use_preconditioner and P is not None:
-        d = _masked_precond(P, X, g, mask)
+    if params.use_preconditioner and Pinv is not None:
+        d = _masked_precond(Pinv, X, g, mask)
     else:
         d = g
-    return stiefel.retract_polar(X, -params.stepsize * d)
+    return stiefel.retract_polar_ns(X, -params.stepsize * d)
 
 
 class _TCGState(NamedTuple):
@@ -104,7 +108,7 @@ class _TCGState(NamedTuple):
     done: jnp.ndarray
 
 
-def _tcg(X, e, mask, G, P, radius, params: RTRParams):
+def _tcg(X, e, mask, G, Pinv, radius, params: RTRParams):
     """Steihaug–Toint truncated CG for the trust-region subproblem
 
       min_η  <g, η> + ½ <η, Hess[η]>   s.t.  ||η|| ≤ radius
@@ -117,8 +121,8 @@ def _tcg(X, e, mask, G, P, radius, params: RTRParams):
     r0 = g
 
     def prec(v):
-        if params.use_preconditioner and P is not None:
-            return _masked_precond(P, X, v, mask)
+        if params.use_preconditioner and Pinv is not None:
+            return _masked_precond(Pinv, X, v, mask)
         return v
 
     z0 = prec(r0)
@@ -204,7 +208,7 @@ def rtr_solve(
     X: jnp.ndarray,
     e: EdgeSet,
     mask: jnp.ndarray,
-    P: jnp.ndarray | None,
+    Pinv: jnp.ndarray | None,
     params: RTRParams,
 ) -> Tuple[jnp.ndarray, OptResult]:
     """Riemannian trust-region on the masked block.
@@ -232,10 +236,10 @@ def rtr_solve(
 
     def body(s):
         G = quadratic.egrad(s.X, e)
-        eta, Heta, g = _tcg(s.X, e, mask, G, P, s.radius, params)
+        eta, Heta, g = _tcg(s.X, e, mask, G, Pinv, s.radius, params)
         # model decrease: m(0) − m(η) = −<g,η> − ½<η,Hη>
         pred = -(stiefel.inner(g, eta) + 0.5 * stiefel.inner(eta, Heta))
-        X_try = stiefel.retract_polar(s.X, eta)
+        X_try = stiefel.retract_polar_ns(s.X, eta)
         f_try = quadratic.cost(X_try, e)
         ared = s.f - f_try
         rho = ared / jnp.where(jnp.abs(pred) > 1e-300, pred, 1e-300)
@@ -280,7 +284,7 @@ def rgd_solve(
     X: jnp.ndarray,
     e: EdgeSet,
     mask: jnp.ndarray,
-    P: jnp.ndarray | None,
+    Pinv: jnp.ndarray | None,
     params: RGDParams,
     num_steps: int = 1,
 ) -> Tuple[jnp.ndarray, OptResult]:
@@ -290,7 +294,7 @@ def rgd_solve(
     gn0 = stiefel.tangent_norm(_masked_rgrad(X, e, mask))
 
     def body(_, Xc):
-        return rgd_step(Xc, e, mask, P, params)
+        return rgd_step(Xc, e, mask, Pinv, params)
 
     Xn = jax.lax.fori_loop(0, num_steps, body, X)
     res = OptResult(

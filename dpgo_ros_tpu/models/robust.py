@@ -76,6 +76,25 @@ def robust_weight(rtype: str, residuals: jnp.ndarray, barc: float) -> jnp.ndarra
     raise ValueError(f"unknown robust cost {rtype}")
 
 
+def mu_for_round(weight_update_count, cfg, mu_state, dtype=jnp.float64):
+    """μ for the current GNC round under the configured schedule.
+
+    "geometric": μ interpolates GNC_mu_start → GNC_mu_end across the
+    ``robust_opt_num_weight_updates`` scheduled rounds (binarizing by the
+    last round). "reference": the running μ state (init_mu · mu_step^k).
+    Works with traced ``weight_update_count`` (jit-safe).
+    """
+    if getattr(cfg, "GNC_schedule", "reference") != "geometric":
+        return mu_state
+    K = max(int(cfg.robust_opt_num_weight_updates), 1)
+    k = jnp.asarray(weight_update_count, dtype)
+    frac = k / max(K - 1, 1)
+    log_mu = jnp.log(cfg.GNC_mu_start) + frac * (
+        jnp.log(cfg.GNC_mu_end) - jnp.log(cfg.GNC_mu_start)
+    )
+    return jnp.exp(log_mu)
+
+
 def update_weights_gnc(
     weights: jnp.ndarray,
     fixed_mask: jnp.ndarray,

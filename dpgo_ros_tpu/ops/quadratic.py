@@ -243,6 +243,10 @@ def precond_solve(P: jnp.ndarray, V: jnp.ndarray) -> jnp.ndarray:
     Row-vector convention: the quadratic is tr(Z Q Zᵀ), so the gradient rows
     multiply P^{-1} on the right. P is (n, d+1, d+1) SPD; batched Cholesky
     solve (tiny matrices — XLA keeps them on-chip).
+
+    Hot loops should instead precompute :func:`precond_inverse` once per
+    block update and apply it with :func:`precond_apply` — a factorization
+    per tCG application is the dominant per-iteration cost on TPU.
     """
     L = jnp.linalg.cholesky(P)
     # solve P x^T = v^T  for each row block: use triangular solves
@@ -252,3 +256,21 @@ def precond_solve(P: jnp.ndarray, V: jnp.ndarray) -> jnp.ndarray:
         jnp.swapaxes(L, -1, -2), Z, lower=False
     )
     return jnp.swapaxes(Xt, -1, -2)
+
+
+def precond_inverse(P: jnp.ndarray) -> jnp.ndarray:
+    """Batched explicit inverse of the (n, d+1, d+1) SPD damped blocks.
+
+    Computed ONCE per block update; application is then a single batched
+    matmul (:func:`precond_apply`) instead of per-iteration factorizations.
+    """
+    L = jnp.linalg.cholesky(P)
+    eye = jnp.broadcast_to(jnp.eye(P.shape[-1], dtype=P.dtype), P.shape)
+    Z = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    return jnp.einsum("nki,nkj->nij", Z, Z)  # L^{-T} L^{-1} = P^{-1}
+
+
+def precond_apply(Pinv: jnp.ndarray, V: jnp.ndarray) -> jnp.ndarray:
+    """V_i ← V_i P_i^{-1} with a precomputed symmetric inverse (one batched
+    matmul — VPU/MXU friendly)."""
+    return jnp.einsum("nrk,nkj->nrj", V, Pinv)

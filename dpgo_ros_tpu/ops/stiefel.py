@@ -65,6 +65,35 @@ def retract_polar(X: jnp.ndarray, V: jnp.ndarray) -> jnp.ndarray:
     return join(Ynew, p + Vp)
 
 
+def retract_polar_ns(
+    X: jnp.ndarray, V: jnp.ndarray, iters: int = 12
+) -> jnp.ndarray:
+    """Polar retraction via Newton–Schulz iteration — matmul-only, no
+    eigendecomposition; the TPU hot-path variant of :func:`retract_polar`.
+
+    X_{k+1} = ½ X_k (3I − X_kᵀX_k) converges quadratically to polar(A) for
+    σ(A) ∈ (0, √3). A = Y + V_Y is pre-scaled by trace normalization
+    (σ_max(A/s)² ≤ d with s² = tr(AᵀA)/d... scaled by 1/√d margin) so the
+    iteration is safely contractive for any tangent step.
+    """
+    d = X.shape[-1] - 1
+    Y, p = split(X)
+    VY, Vp = split(V)
+    A = Y + VY
+    M = jnp.einsum("nra,nrb->nab", A, A)
+    tr = jnp.trace(M, axis1=-2, axis2=-1)
+    s = jax.lax.rsqrt(jnp.maximum(tr, 1e-12))[:, None, None]  # σ_max ≤ 1
+    Z = A * s
+    I3 = jnp.eye(d, dtype=X.dtype)
+
+    def body(_, Zk):
+        G = jnp.einsum("nra,nrb->nab", Zk, Zk)
+        return 0.5 * jnp.einsum("nra,nab->nrb", Zk, 3.0 * I3 - G)
+
+    Z = jax.lax.fori_loop(0, iters, body, Z)
+    return join(Z, p + Vp)
+
+
 def retract_qr(X: jnp.ndarray, V: jnp.ndarray) -> jnp.ndarray:
     """QR retraction (sign-fixed thin QR of the r×d blocks)."""
     Y, p = split(X)

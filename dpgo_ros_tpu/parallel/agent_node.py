@@ -467,7 +467,7 @@ class PGOAgentNode:
 
         def solve(X, weights, emask):
             e = dataclasses.replace(self.edges, weight=weights, mask=emask)
-            P = quadratic.precond_blocks(e, ntot)
+            P = quadratic.precond_inverse(quadratic.precond_blocks(e, ntot))
             if cfg.solver == SolverMethod.RTR:
                 return rtr_solve(X, e, self._own_mask, P, rtr)
             return rgd_solve(X, e, self._own_mask, P, rgd)
@@ -798,7 +798,7 @@ class PGOAgentNode:
             f_acc = float(quadratic.cost(X_acc, e))
             f_cur = float(quadratic.cost(self.X, e))
             if f_acc <= f_cur:
-                Vk = stiefel.retract_polar(
+                Vk = stiefel.retract_polar_ns(
                     X_acc,
                     beta
                     * stiefel.proj_tangent(
@@ -851,7 +851,12 @@ class PGOAgentNode:
         e = dataclasses.replace(self.edges, mask=self._edge_mask())
         r = np.asarray(robust.measurement_residuals(jnp.asarray(T_all, self.dtype), e))
         w = np.asarray(self.edges.weight).copy()
-        barc, mu = self.config.GNC_barc, self.mu
+        barc = self.config.GNC_barc
+        mu = float(
+            robust.mu_for_round(
+                self.weight_update_count, self.config, self.mu
+            )
+        )
         src_ids, src_f, dst_ids, dst_f, w_out, fixed_out = [], [], [], [], [], []
         for k in range(len(m)):
             if self.edges.is_loop[k] <= 0:

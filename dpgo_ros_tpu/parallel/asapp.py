@@ -75,7 +75,7 @@ class ASAPPEngine:
         key, sub = jax.random.split(st.key)
         delays = jax.random.randint(sub, (R,), 0, self.K + 1)
         e = prob.edges
-        P = quadratic.precond_blocks(e, prob.n)
+        P = quadratic.precond_inverse(quadratic.precond_blocks(e, prob.n))
 
         def one_robot(mask, delay):
             # robot's view: own block fresh, neighbors delayed

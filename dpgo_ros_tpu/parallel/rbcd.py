@@ -346,7 +346,7 @@ class RBCDEngine:
         f_acc = quadratic.cost(X_acc, e)
 
         def accept():
-            Vk = stiefel.retract_polar(
+            Vk = stiefel.retract_polar_ns(
                 X_acc,
                 beta * stiefel.proj_tangent(X_acc, mask * (X_acc - st.X_prev)),
             )
@@ -419,7 +419,9 @@ class RBCDEngine:
         ``src/PGOAgentROS.cpp:1161-1189``)."""
         e = self._edges(st.weights)
         mask = self._masks[robot]
-        P = quadratic.precond_blocks(e, self.problem.n)
+        P = quadratic.precond_inverse(
+            quadratic.precond_blocks(e, self.problem.n)
+        )
         X_new, V_new, res, theta = self._block_update(st, mask, e, P)
         return self._finish_step(st, X_new, V_new, res, theta, mask)
 
@@ -431,7 +433,9 @@ class RBCDEngine:
         mesh this is the shard_map step of parallel/spmd.py."""
         e = self._edges(st.weights)
         mask = self._color_masks[color]
-        P = quadratic.precond_blocks(e, self.problem.n)
+        P = quadratic.precond_inverse(
+            quadratic.precond_blocks(e, self.problem.n)
+        )
         X_new, V_new, res, theta = self._block_update(st, mask, e, P)
         return self._finish_step(st, X_new, V_new, res, theta, mask)
 
@@ -443,9 +447,16 @@ class RBCDEngine:
         e = self._edges(st.weights)
         T = rounding.round_solution(st.X)
         r = robust.measurement_residuals(T, e)
-        w_new, mu_new = robust.update_weights_gnc(
-            st.weights, st.fixed_mask, r, st.mu, cfg.GNC_barc, cfg.GNC_mu_step
+        mu_use = robust.mu_for_round(
+            st.weight_update_count,
+            cfg,
+            st.mu,
+            dtype=self.dtype,
         )
+        w_new, _ = robust.update_weights_gnc(
+            st.weights, st.fixed_mask, r, mu_use, cfg.GNC_barc, cfg.GNC_mu_step
+        )
+        mu_new = st.mu * cfg.GNC_mu_step
         fixed = st.fixed_mask
         if cfg.weight_convergence_threshold > 0:
             conv = jnp.abs(w_new - jnp.round(w_new)) < cfg.weight_convergence_threshold

@@ -261,7 +261,9 @@ def build_spmd_step(
             own, c["pose_valid"][0] * active, (start,)
         )
         mask = own[:, None, None]
-        P_blocks = quadratic.precond_blocks(e, M * n_max)
+        P_blocks = quadratic.precond_inverse(
+            quadratic.precond_blocks(e, M * n_max)
+        )
 
         if cfg.acceleration:
             # Accelerated RBCD: solve the block against the *auxiliary*
@@ -285,7 +287,7 @@ def build_spmd_step(
             )
 
             def ok():
-                Vk = stiefel.retract_polar(
+                Vk = stiefel.retract_polar_ns(
                     X_acc,
                     beta
                     * stiefel.proj_tangent(X_acc, mask * (X_acc - Xp_full)),

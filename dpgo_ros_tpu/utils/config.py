@@ -116,6 +116,16 @@ class AgentConfig:
     GNC_barc: float = 5.0
     GNC_mu_step: float = 2.0
     GNC_init_mu: float = 1e-5
+    # μ-schedule. "reference": μ_k = init_mu · mu_step^k (the reference's
+    # parameterization — with its demo budget of 3-4 updates the TLS weights
+    # mathematically cannot binarize: w_mid ≈ √μ·barc/r stays ≪1, leaving
+    # every loop closure undecided). "geometric" (default): μ interpolates
+    # geometrically from GNC_mu_start to GNC_mu_end across the scheduled
+    # weight updates, so the final rounds are hard TLS — annealed truncation
+    # that actually accepts inliers and rejects outliers within the budget.
+    GNC_schedule: str = "geometric"
+    GNC_mu_start: float = 0.05
+    GNC_mu_end: float = 1e3
     robust_opt_num_weight_updates: int = 4
     robust_opt_num_resets: int = 0
     robust_opt_min_convergence_ratio: float = 0.0

@@ -107,7 +107,7 @@ def test_rtr_monotone_descent():
     X = st.X
     e = prob.edges
     mask = jnp.ones((prob.n, 1, 1))
-    P = quadratic.precond_blocks(e, prob.n)
+    P = quadratic.precond_inverse(quadratic.precond_blocks(e, prob.n))
     f_prev = float(quadratic.cost(X, e))
     for _ in range(5):
         X, res = rtr_solve(X, e, mask, P, RTRParams(max_iterations=2))
