@@ -76,23 +76,98 @@ def robust_weight(rtype: str, residuals: jnp.ndarray, barc: float) -> jnp.ndarra
     raise ValueError(f"unknown robust cost {rtype}")
 
 
-def mu_for_round(weight_update_count, cfg, mu_state, dtype=jnp.float64):
-    """μ for the current GNC round under the configured schedule.
+def mu_for_round(
+    weight_update_count,
+    cfg,
+    mu_state,
+    dtype=jnp.float64,
+    residuals=None,
+    loop_mask=None,
+):
+    """μ for the current GNC round under the configured schedule (jit-safe).
 
-    "geometric": μ interpolates GNC_mu_start → GNC_mu_end across the
-    ``robust_opt_num_weight_updates`` scheduled rounds (binarizing by the
-    last round). "reference": the running μ state (init_mu · mu_step^k).
-    Works with traced ``weight_update_count`` (jit-safe).
+    "adaptive" (default): anneal the hard-rejection cutoff from the current
+    residual scale down to ~barc. The TLS w=0 cutoff is
+    c(μ) = √((μ+1)/μ)·c̄; round k of K uses
+    cutoff_k = max(1.05·c̄, P90(r_loops)^(1−α) · (1.05·c̄)^α), α=(k+1)/K,
+    i.e. geometric interpolation in log-space — nothing is hard-rejected
+    faster than the trajectory can tighten, and the last round is
+    (near-)hard TLS. μ = c̄²/(cutoff² − c̄²). GNC with a residual-scale-aware
+    μ is standard practice (GTSAM's GncOptimizer initializes
+    μ₀ = c̄²/(2 r_max² − c̄²)); the fixed reference schedule
+    (init_mu·mu_step^k from 1e-5) cannot reject anything nor accept anything
+    within its demo budget.
+
+    "geometric": μ interpolates GNC_mu_start → GNC_mu_end across rounds.
+    "reference": the running μ state (init_mu · mu_step^k).
     """
-    if getattr(cfg, "GNC_schedule", "reference") != "geometric":
+    schedule = getattr(cfg, "GNC_schedule", "reference")
+    if schedule == "reference":
         return mu_state
     K = max(int(cfg.robust_opt_num_weight_updates), 1)
     k = jnp.asarray(weight_update_count, dtype)
-    frac = k / max(K - 1, 1)
-    log_mu = jnp.log(cfg.GNC_mu_start) + frac * (
-        jnp.log(cfg.GNC_mu_end) - jnp.log(cfg.GNC_mu_start)
+    if schedule == "geometric":
+        frac = k / max(K - 1, 1)
+        log_mu = jnp.log(cfg.GNC_mu_start) + frac * (
+            jnp.log(cfg.GNC_mu_end) - jnp.log(cfg.GNC_mu_start)
+        )
+        return jnp.exp(log_mu)
+    # adaptive
+    assert residuals is not None and loop_mask is not None
+    barc = cfg.GNC_barc
+    floor = 1.05 * barc
+    r = jnp.where(loop_mask > 0, residuals, jnp.nan)
+    p90 = jnp.nan_to_num(jnp.nanpercentile(r, 90.0), nan=floor)
+    p90 = jnp.maximum(p90, floor)
+    alpha = (k + 1.0) / K
+    cutoff = jnp.exp(
+        (1.0 - alpha) * jnp.log(p90) + alpha * jnp.log(floor)
     )
-    return jnp.exp(log_mu)
+    cutoff = jnp.maximum(cutoff, floor)
+    return (barc * barc) / (cutoff * cutoff - barc * barc)
+
+
+def gnc_round_params(
+    weight_update_count,
+    cfg,
+    mu_state,
+    residuals,
+    loop_mask,
+    dtype=jnp.float64,
+):
+    """(μ, barc) to use for this GNC round.
+
+    "adaptive" (default) anneals the *threshold* with full-strength weights:
+    barc_k shrinks geometrically from the current loop-residual P90 to the
+    configured barc across the K scheduled rounds, while μ is held at O(1)
+    (μ=3 ⇒ w=1 for r ≤ 0.87·barc_k, w=0 for r ≥ 1.15·barc_k). Unlike
+    μ-annealing — whose mid-region weights (c̄/r)√μ are ≪1 until μ≈1 and
+    therefore never let plausible inliers pull the trajectory — threshold
+    annealing keeps plausible edges at full weight each round, so their
+    residuals actually tighten before the cutoff reaches barc.
+
+    Other schedules anneal μ against the fixed configured barc
+    (see :func:`mu_for_round`).
+    """
+    schedule = getattr(cfg, "GNC_schedule", "reference")
+    if schedule != "adaptive":
+        mu = mu_for_round(
+            weight_update_count, cfg, mu_state, dtype=dtype,
+            residuals=residuals, loop_mask=loop_mask,
+        )
+        return mu, jnp.asarray(cfg.GNC_barc, dtype)
+    K = max(int(cfg.robust_opt_num_weight_updates), 1)
+    k = jnp.asarray(weight_update_count, dtype)
+    barc = cfg.GNC_barc
+    r = jnp.where(loop_mask > 0, residuals, jnp.nan)
+    p90 = jnp.nan_to_num(jnp.nanpercentile(r, 90.0), nan=barc)
+    p90 = jnp.maximum(p90, barc)
+    alpha = (k + 1.0) / K
+    barc_k = jnp.exp(
+        (1.0 - alpha) * jnp.log(p90) + alpha * jnp.log(barc)
+    )
+    barc_k = jnp.maximum(barc_k, barc)
+    return jnp.asarray(3.0, dtype), barc_k
 
 
 def update_weights_gnc(

@@ -851,12 +851,14 @@ class PGOAgentNode:
         e = dataclasses.replace(self.edges, mask=self._edge_mask())
         r = np.asarray(robust.measurement_residuals(jnp.asarray(T_all, self.dtype), e))
         w = np.asarray(self.edges.weight).copy()
-        barc = self.config.GNC_barc
-        mu = float(
-            robust.mu_for_round(
-                self.weight_update_count, self.config, self.mu
-            )
+        mu_j, barc_j = robust.gnc_round_params(
+            self.weight_update_count,
+            self.config,
+            self.mu,
+            residuals=jnp.asarray(r),
+            loop_mask=self.edges.is_loop * self._edge_mask(),
         )
+        mu, barc = float(mu_j), float(barc_j)
         src_ids, src_f, dst_ids, dst_f, w_out, fixed_out = [], [], [], [], [], []
         for k in range(len(m)):
             if self.edges.is_loop[k] <= 0:

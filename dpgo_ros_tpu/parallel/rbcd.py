@@ -413,19 +413,29 @@ class RBCDEngine:
             weight_update_count=st.weight_update_count,
         ), rc
 
-    def _step_sequential_impl(self, st: RBCDState, robot: jnp.ndarray):
+    def _precond_inv(self, e) -> jnp.ndarray:
+        """Damped block-Jacobi inverse for the current weights. Depends only
+        on the weights — callers on the hot path should compute it once per
+        weight change and pass it through (``Pinv`` argument)."""
+        return quadratic.precond_inverse(
+            quadratic.precond_blocks(e, self.problem.n)
+        )
+
+    def _step_sequential_impl(
+        self, st: RBCDState, robot: jnp.ndarray, Pinv: jnp.ndarray | None = None
+    ):
         """Synchronous RBCD step: the robot named by the UPDATE token
         optimizes its block (reference ``iterate(true)`` vs ``iterate(false)``,
         ``src/PGOAgentROS.cpp:1161-1189``)."""
         e = self._edges(st.weights)
         mask = self._masks[robot]
-        P = quadratic.precond_inverse(
-            quadratic.precond_blocks(e, self.problem.n)
-        )
+        P = Pinv if Pinv is not None else self._precond_inv(e)
         X_new, V_new, res, theta = self._block_update(st, mask, e, P)
         return self._finish_step(st, X_new, V_new, res, theta, mask)
 
-    def _step_parallel_impl(self, st: RBCDState, color: jnp.ndarray):
+    def _step_parallel_impl(
+        self, st: RBCDState, color: jnp.ndarray, Pinv: jnp.ndarray | None = None
+    ):
         """Colored-parallel block update: all robots of ``color`` solve
         simultaneously. Their union mask selects a block-diagonal sub-Hessian
         (no shared edges within a color class), so the masked trust-region
@@ -433,9 +443,7 @@ class RBCDEngine:
         mesh this is the shard_map step of parallel/spmd.py."""
         e = self._edges(st.weights)
         mask = self._color_masks[color]
-        P = quadratic.precond_inverse(
-            quadratic.precond_blocks(e, self.problem.n)
-        )
+        P = Pinv if Pinv is not None else self._precond_inv(e)
         X_new, V_new, res, theta = self._block_update(st, mask, e, P)
         return self._finish_step(st, X_new, V_new, res, theta, mask)
 
@@ -447,14 +455,16 @@ class RBCDEngine:
         e = self._edges(st.weights)
         T = rounding.round_solution(st.X)
         r = robust.measurement_residuals(T, e)
-        mu_use = robust.mu_for_round(
+        mu_use, barc_use = robust.gnc_round_params(
             st.weight_update_count,
             cfg,
             st.mu,
+            residuals=r,
+            loop_mask=e.is_loop * e.mask,
             dtype=self.dtype,
         )
         w_new, _ = robust.update_weights_gnc(
-            st.weights, st.fixed_mask, r, mu_use, cfg.GNC_barc, cfg.GNC_mu_step
+            st.weights, st.fixed_mask, r, mu_use, barc_use, cfg.GNC_mu_step
         )
         mu_new = st.mu * cfg.GNC_mu_step
         fixed = st.fixed_mask
@@ -608,36 +618,41 @@ class RBCDEngine:
         tol = cfg.relative_change_tolerance
         key0 = jax.random.PRNGKey(cfg.seed)
 
-        def do_iter(st: RBCDState) -> RBCDState:
+        def do_iter(carry):
+            st, Pinv = carry
             i = st.iteration
             if gnc:
-                def wu(s):
-                    return self._weight_update_impl(s)
+                def wu(args):
+                    s, _ = args
+                    s2 = self._weight_update_impl(s)
+                    # weights changed → refresh the cached preconditioner
+                    return s2, self._precond_inv(self._edges(s2.weights))
 
-                st = jax.lax.cond(
+                st, Pinv = jax.lax.cond(
                     (i > 0)
                     & (jnp.mod(i, inner) == 0)
                     & (st.weight_update_count < cfg.robust_opt_num_weight_updates),
                     wu,
-                    lambda s: s,
-                    st,
+                    lambda a: a,
+                    (st, Pinv),
                 )
             if cfg.update_rule == UpdateRule.PARALLEL:
                 st2, _ = self._step_parallel_impl(
-                    st, jnp.mod(i, self.num_colors)
+                    st, jnp.mod(i, self.num_colors), Pinv
                 )
             elif cfg.update_rule == UpdateRule.ROUND_ROBIN:
                 st2, _ = self._step_sequential_impl(
-                    st, jnp.mod(i, prob.num_robots)
+                    st, jnp.mod(i, prob.num_robots), Pinv
                 )
             else:
                 k = jax.random.randint(
                     jax.random.fold_in(key0, i), (), 0, prob.num_robots
                 )
-                st2, _ = self._step_sequential_impl(st, k)
-            return st2
+                st2, _ = self._step_sequential_impl(st, k, Pinv)
+            return st2, Pinv
 
-        def cond_fn(st: RBCDState):
+        def cond_fn(carry):
+            st, _ = carry
             ready = jnp.all(st.rel_change < tol)
             if gnc:
                 ready = ready & (
@@ -647,7 +662,9 @@ class RBCDEngine:
 
         @jax.jit
         def run(st: RBCDState) -> RBCDState:
-            return jax.lax.while_loop(cond_fn, do_iter, st)
+            Pinv = self._precond_inv(self._edges(st.weights))
+            out, _ = jax.lax.while_loop(cond_fn, do_iter, (st, Pinv))
+            return out
 
         return run
 

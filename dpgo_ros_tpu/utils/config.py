@@ -119,11 +119,12 @@ class AgentConfig:
     # μ-schedule. "reference": μ_k = init_mu · mu_step^k (the reference's
     # parameterization — with its demo budget of 3-4 updates the TLS weights
     # mathematically cannot binarize: w_mid ≈ √μ·barc/r stays ≪1, leaving
-    # every loop closure undecided). "geometric" (default): μ interpolates
-    # geometrically from GNC_mu_start to GNC_mu_end across the scheduled
-    # weight updates, so the final rounds are hard TLS — annealed truncation
-    # that actually accepts inliers and rejects outliers within the budget.
-    GNC_schedule: str = "geometric"
+    # every loop closure undecided). "geometric": μ interpolates
+    # GNC_mu_start → GNC_mu_end across the scheduled updates. "adaptive"
+    # (default): residual-scale-aware annealing — the hard-rejection cutoff
+    # shrinks geometrically from the current loop-residual P90 down to
+    # ~barc by the last round (see models/robust.py::mu_for_round).
+    GNC_schedule: str = "adaptive"
     GNC_mu_start: float = 0.05
     GNC_mu_end: float = 1e3
     robust_opt_num_weight_updates: int = 4

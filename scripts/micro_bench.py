@@ -55,3 +55,24 @@ timeit("rtr block update (current)", lambda X: rtr_solve(X, e, mask, P, rtr)[0],
 # accuracy check NS vs eigh
 a = stiefel.retract_polar(X, V); b = stiefel.retract_polar_ns(X, V)
 print("NS vs eigh max diff:", float(jnp.max(jnp.abs(a-b))), " on-manifold:", float(stiefel.check_on_manifold(b)))
+
+# --- true per-op costs inside fused loops (no dispatch overhead) ---------
+def fused_loop(name, op, init, iters=200):
+    @jax.jit
+    def run(x):
+        return jax.lax.fori_loop(0, iters, lambda i, v: op(v), x)
+    out = run(init); jax.block_until_ready(out)
+    t0 = time.time()
+    out = run(init); jax.block_until_ready(out)
+    dt = (time.time() - t0) / iters
+    print(f"fused {name:28s} {dt*1e6:10.1f} us/op", flush=True)
+
+fused_loop("egrad", lambda X: quadratic.egrad(X, e) * 1e-9 + X, X)
+fused_loop("rhess_vp", lambda V: quadratic.rhess_vp(X, V, e) * 1e-9 + V, V)
+fused_loop("proj_tangent", lambda V: stiefel.proj_tangent(X, V) * 1e-9 + V, V)
+fused_loop("retract_ns", lambda Xc: stiefel.retract_polar_ns(Xc, V * 1e-6), X)
+fused_loop("precond_apply", lambda V: quadratic.precond_apply(Pinv, V) * 1e-9 + V, V)
+
+for ti, tcg in [(1, 10), (1, 50), (3, 50)]:
+    pr = RTRParams(max_iterations=ti, max_tcg_iterations=tcg, gradnorm_tol=0.5)
+    timeit(f"rtr ti={ti} tcg={tcg}", lambda X: rtr_solve(X, e, mask, Pinv, pr)[0], X, iters=10)

@@ -1,0 +1,98 @@
+"""GNC robustness tests with known outlier labels (the quantitative oracle
+the reference lacks — SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from dpgo_ros_tpu.io.datasets import load_g2o_dataset
+from dpgo_ros_tpu.models.problem import LiftedProblem
+from dpgo_ros_tpu.parallel.rbcd import RBCDEngine
+from dpgo_ros_tpu.types import EdgeType, MeasurementBatch
+from dpgo_ros_tpu.utils.config import (
+    AgentConfig,
+    InitMethod,
+    RobustCostType,
+    UpdateRule,
+)
+
+
+def inject_outliers(data, frac: float, seed: int = 0):
+    """Append random gross-outlier loop closures (uniformly random rotation,
+    large random translation) between random pose pairs. Returns (data,
+    outlier_mask_over_measurements)."""
+    rng = np.random.default_rng(seed)
+    m = data.measurements
+    E = len(m)
+    num_out = int(frac * E)
+    rows = []
+    for _ in range(num_out):
+        while True:
+            ra, rb = rng.integers(data.num_robots, size=2)
+            fa = rng.integers(data.num_poses[ra])
+            fb = rng.integers(data.num_poses[rb])
+            if (ra, fa) != (rb, fb):
+                break
+        A = rng.normal(size=(3, 3))
+        Q, _ = np.linalg.qr(A)
+        if np.linalg.det(Q) < 0:
+            Q[:, 0] = -Q[:, 0]
+        rows.append((ra, fa, rb, fb, Q, rng.normal(size=3) * 10.0))
+    out = MeasurementBatch(
+        src_robot=np.asarray([r[0] for r in rows], np.int32),
+        src_frame=np.asarray([r[1] for r in rows], np.int32),
+        dst_robot=np.asarray([r[2] for r in rows], np.int32),
+        dst_frame=np.asarray([r[3] for r in rows], np.int32),
+        R=np.stack([r[4] for r in rows]),
+        t=np.stack([r[5] for r in rows]),
+        kappa=np.full(num_out, float(np.median(m.kappa))),
+        tau=np.full(num_out, float(np.median(m.tau))),
+        weight=np.ones(num_out),
+        fixed_weight=np.zeros(num_out, bool),
+        edge_type=np.where(
+            np.asarray([r[0] for r in rows]) == np.asarray([r[2] for r in rows]),
+            EdgeType.PRIVATE_LOOP_CLOSURE,
+            EdgeType.SHARED_LOOP_CLOSURE,
+        ).astype(np.int32),
+    )
+    data.measurements = m.concat(out)
+    is_outlier = np.zeros(E + num_out, bool)
+    is_outlier[E:] = True
+    return data, is_outlier
+
+
+def test_gnc_engine_outlier_precision_recall():
+    """smallGrid3D + 20% injected gross outliers: GNC must reject (almost)
+    all outliers and keep (almost) all true loop closures."""
+    data = load_g2o_dataset("smallGrid3D", num_robots=2)
+    data, is_outlier = inject_outliers(data, frac=0.2, seed=1)
+    prob = LiftedProblem.from_data(data, r=5)
+    cfg = AgentConfig(
+        num_robots=2,
+        update_rule=UpdateRule.ROUND_ROBIN,
+        local_initialization_method=InitMethod.ODOMETRY,
+        robust_cost_type=RobustCostType.GNC_TLS,
+        GNC_use_probability=False,
+        GNC_barc=3.0,
+        robust_opt_num_weight_updates=4,
+        robust_opt_inner_iters_per_robot=15,
+        robust_opt_num_resets=1,
+        relative_change_tolerance=0.05,
+        RTR_gradnorm_tol=0.5,
+    )
+    eng = RBCDEngine(prob, cfg)
+    st, info = eng.run()
+    T, st = eng.finalize(st)
+    w = np.asarray(st.weights)[: len(data.measurements)]
+    loops = np.asarray(prob.edges.is_loop)[: len(data.measurements)] > 0
+    accepted = w > 0.5
+    # all outliers are loops
+    out = is_outlier
+    inl_loops = loops & ~out
+    # recall: accepted true loops / true loops; precision on outliers:
+    # rejected outliers / outliers
+    rejected_outliers = np.sum(~accepted & out) / max(np.sum(out), 1)
+    accepted_inliers = np.sum(accepted & inl_loops) / max(np.sum(inl_loops), 1)
+    assert rejected_outliers >= 0.95, rejected_outliers
+    assert accepted_inliers >= 0.8, accepted_inliers
+    # the robust solution should be close to the clean-data optimum
+    assert info["final_cost"] < 1e5
