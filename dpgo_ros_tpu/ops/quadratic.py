@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dpgo_ros_tpu.ops import stiefel
+from dpgo_ros_tpu.ops.batched import bmm, bmm_nt, bmm_tn, bmv, outer
 
 
 @jax.tree_util.register_dataclass
@@ -119,8 +120,8 @@ def residuals(X: jnp.ndarray, e: EdgeSet) -> Tuple[jnp.ndarray, jnp.ndarray]:
     Xj = X[e.dst]
     Yi, pi = Xi[..., :d], Xi[..., d]
     Yj, pj = Xj[..., :d], Xj[..., d]
-    r1 = Yj - jnp.einsum("erd,edk->erk", Yi, e.R)
-    r2 = pj - pi - jnp.einsum("erd,ed->er", Yi, e.t)
+    r1 = Yj - bmm(Yi, e.R)
+    r2 = pj - pi - bmv(Yi, e.t)
     return r1, r2
 
 
@@ -148,9 +149,7 @@ def egrad(X: jnp.ndarray, e: EdgeSet) -> jnp.ndarray:
     tr2 = 2.0 * tw[:, None] * r2  # (E, r)
 
     # contributions to src pose i: -kr1 R^T - outer(tr2, t) on Y, -tr2 on p
-    gYi = -jnp.einsum("erk,edk->erd", kr1, e.R) - jnp.einsum(
-        "er,ed->erd", tr2, e.t
-    )
+    gYi = -bmm_nt(kr1, e.R) - outer(tr2, e.t)
     gpi = -tr2
     gi = jnp.concatenate([gYi, gpi[..., None]], axis=-1)  # (E, r, d+1)
     # contributions to dst pose j: +kr1 on Y, +tr2 on p
@@ -194,8 +193,8 @@ def rhess_vp(
     Y = X[..., :d]
     GY = G[..., :d]
     VY = V[..., :d]
-    S = stiefel.sym(jnp.einsum("nra,nrb->nab", Y, GY))
-    corr_Y = jnp.einsum("nra,nab->nrb", VY, S)
+    S = stiefel.sym(bmm_tn(Y, GY))
+    corr_Y = bmm(VY, S)
     corr = jnp.concatenate(
         [corr_Y, jnp.zeros_like(V[..., d:])], axis=-1
     )
@@ -214,7 +213,7 @@ def precond_blocks(e: EdgeSet, n: int, damping: float = 1e-2) -> jnp.ndarray:
     d = e.d
     kw, tw = e.effective_weights()
     I = jnp.eye(d, dtype=e.R.dtype)
-    ttT = jnp.einsum("ea,eb->eab", e.t, e.t)
+    ttT = outer(e.t, e.t)
     Dii = jnp.zeros((e.num_edges, d + 1, d + 1), e.R.dtype)
     Dii = Dii.at[:, :d, :d].set(kw[:, None, None] * I + tw[:, None, None] * ttT)
     Dii = Dii.at[:, :d, d].set(tw[:, None] * e.t)
@@ -273,4 +272,4 @@ def precond_inverse(P: jnp.ndarray) -> jnp.ndarray:
 def precond_apply(Pinv: jnp.ndarray, V: jnp.ndarray) -> jnp.ndarray:
     """V_i ← V_i P_i^{-1} with a precomputed symmetric inverse (one batched
     matmul — VPU/MXU friendly)."""
-    return jnp.einsum("nrk,nkj->nrj", V, Pinv)
+    return bmm(V, Pinv)

@@ -17,6 +17,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from dpgo_ros_tpu.ops.batched import bmm, bmm_tn
+
 
 def split(X: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(n, r, d+1) -> Y (n, r, d), p (n, r)."""
@@ -41,8 +43,8 @@ def proj_tangent(X: jnp.ndarray, V: jnp.ndarray) -> jnp.ndarray:
     d = X.shape[-1] - 1
     Y, _ = split(X)
     VY, Vp = split(V)
-    YtV = jnp.einsum("nra,nrb->nab", Y, VY)
-    VY_t = VY - jnp.einsum("nra,nab->nrb", Y, sym(YtV))
+    YtV = bmm_tn(Y, VY)
+    VY_t = VY - bmm(Y, sym(YtV))
     return join(VY_t, Vp)
 
 
@@ -80,15 +82,14 @@ def retract_polar_ns(
     Y, p = split(X)
     VY, Vp = split(V)
     A = Y + VY
-    M = jnp.einsum("nra,nrb->nab", A, A)
-    tr = jnp.trace(M, axis1=-2, axis2=-1)
+    tr = jnp.sum(A * A, axis=(-2, -1))
     s = jax.lax.rsqrt(jnp.maximum(tr, 1e-12))[:, None, None]  # σ_max ≤ 1
     Z = A * s
     I3 = jnp.eye(d, dtype=X.dtype)
 
     def body(_, Zk):
-        G = jnp.einsum("nra,nrb->nab", Zk, Zk)
-        return 0.5 * jnp.einsum("nra,nab->nrb", Zk, 3.0 * I3 - G)
+        G = bmm_tn(Zk, Zk)
+        return 0.5 * bmm(Zk, 3.0 * I3 - G)
 
     Z = jax.lax.fori_loop(0, iters, body, Z)
     return join(Z, p + Vp)
