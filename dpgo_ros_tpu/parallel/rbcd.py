@@ -174,11 +174,13 @@ class RBCDEngine:
                     rel[f, :, : prob.d] = R[a]
                     rel[f, :, prob.d] = t[a]
             return np.asarray(lie.odometry_chain(jnp.asarray(rel, self.dtype)))
-        else:  # Chordal (GNC_TLS robust local init falls back to chordal
-            # with known-inlier weights; full robust local init comes with
-            # the GNC layer)
+        else:  # Chordal, or GNC_TLS robust local initialization
             sel = np.asarray(mine)
             E = int(sel.sum())
+            odo = jnp.asarray(
+                (m.edge_type[sel] == EdgeType.ODOMETRY).astype(np.float64),
+                self.dtype,
+            )
             es = quadratic.EdgeSet(
                 src=jnp.asarray(m.src_frame[sel].astype(np.int32)),
                 dst=jnp.asarray(m.dst_frame[sel].astype(np.int32)),
@@ -190,9 +192,30 @@ class RBCDEngine:
                 mask=jnp.ones((E,), self.dtype),
                 is_loop=jnp.zeros((E,), self.dtype),
             )
-            return np.asarray(
+            T = np.asarray(
                 chordal_ops.chordal_initialization(es, nk, max_iters=500)
             )
+            if cfg.local_initialization_method == InitMethod.GNC_TLS:
+                # robust local init (reference GNC_TLS init method): annealed
+                # truncation — reject private loop closures whose residual
+                # exceeds a shrinking cutoff, re-solving chordally each round
+                barc = cfg.GNC_barc
+                for factor in (10.0, 3.0, 1.5):
+                    r_e = robust.measurement_residuals(
+                        jnp.asarray(T, self.dtype), es
+                    )
+                    w = jnp.where(
+                        odo > 0,
+                        1.0,
+                        (r_e <= factor * barc).astype(self.dtype),
+                    )
+                    es = dataclasses.replace(es, weight=w)
+                    T = np.asarray(
+                        chordal_ops.chordal_initialization(
+                            es, nk, max_iters=500
+                        )
+                    )
+            return T
 
     def _align_robot_frames(self, local_trajs: List[np.ndarray]) -> np.ndarray:
         """Multi-robot initialization: BFS frame alignment over the robot

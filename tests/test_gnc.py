@@ -60,6 +60,40 @@ def inject_outliers(data, frac: float, seed: int = 0):
     return data, is_outlier
 
 
+def test_gnc_tls_local_init_beats_odometry_under_outliers():
+    """GNC_TLS robust local initialization (reference
+    ``localInitializationMethod=GNC_TLS``) must produce a lower-cost init
+    than plain chordal when private loop closures contain gross outliers."""
+    data = load_g2o_dataset("smallGrid3D", num_robots=1)
+    data, is_outlier = inject_outliers(data, frac=0.15, seed=3)
+    prob = LiftedProblem.from_data(data, r=5)
+
+    def init_cost(method):
+        cfg = AgentConfig(
+            num_robots=1,
+            local_initialization_method=method,
+            robust_cost_type=RobustCostType.GNC_TLS,
+            GNC_use_probability=False,
+            GNC_barc=3.0,
+        )
+        eng = RBCDEngine(prob, cfg)
+        st = eng.initialize()
+        # evaluate on the inlier-only objective
+        import dataclasses as dc
+
+        import jax.numpy as jnp
+
+        from dpgo_ros_tpu.ops import quadratic
+
+        w = jnp.asarray(~is_outlier, st.X.dtype)
+        e = dc.replace(prob.edges, weight=w)
+        return float(quadratic.cost(st.X, e))
+
+    f_chordal = init_cost(InitMethod.CHORDAL)
+    f_robust = init_cost(InitMethod.GNC_TLS)
+    assert f_robust < f_chordal
+
+
 def test_gnc_engine_outlier_precision_recall():
     """smallGrid3D + 20% injected gross outliers: GNC must reject (almost)
     all outliers and keep (almost) all true loop closures."""
