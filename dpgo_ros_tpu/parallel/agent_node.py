@@ -639,7 +639,7 @@ class PGOAgentNode:
         self.X_prev = X
         # restore cached GNC weights (warm start, reference :1072-1075)
         if self.cached_weights:
-            w = np.asarray(self.edges.weight)
+            w = np.array(self.edges.weight)
             m = self.measurements
             for k in range(len(m)):
                 key = (

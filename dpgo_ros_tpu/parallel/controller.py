@@ -71,6 +71,14 @@ class DistributedController:
             },
         }
 
+    def start_new_round(self) -> None:
+        """Begin another optimization instance: agents keep their warm-start
+        caches (optimized trajectory re-anchoring + GNC weights) unless
+        ``complete_reset`` (reference across-rounds semantics, SURVEY.md
+        §5.4; ``PGOAgentROS.cpp:354-361, 1072-1075``)."""
+        for a in self.agents:
+            a.terminated = False
+
     def global_trajectory(self, result: Dict) -> Optional[np.ndarray]:
         """Concatenate per-robot world trajectories (robots 0..R-1)."""
         trajs = result["trajectories"]

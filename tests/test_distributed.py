@@ -157,6 +157,25 @@ def test_gnc_fleet_rejects_outlier():
         assert a.cached_weights[key] <= 1e-6
 
 
+def test_warm_start_across_rounds():
+    """Round 2 must reuse the cached optimized trajectory (reference
+    warm-start across instances) and converge in fewer block updates."""
+    data = load_g2o_dataset("tinyGrid3D", num_robots=2)
+    ctl = DistributedController(data, _cfg(2))
+    res1 = ctl.run(max_ticks=2000)
+    it1 = sum(res1["iterations"].values())
+    assert all(res1["terminated"])
+    assert ctl.agents[0].instance == 1  # bumped by reset(complete=False)
+    assert ctl.agents[0].cached_trajectory is not None
+    ctl.start_new_round()
+    res2 = ctl.run(max_ticks=2000)
+    it2 = sum(res2["iterations"].values())
+    assert all(res2["terminated"])
+    assert it2 <= it1
+    T = ctl.global_trajectory(res2)
+    assert _global_cost(data, T) < 18.52 * 1.05
+
+
 def test_cluster_id_is_min_active():
     data = load_g2o_dataset("tinyGrid3D", num_robots=2)
     ctl = DistributedController(data, _cfg(2))
