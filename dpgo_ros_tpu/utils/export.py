@@ -86,3 +86,8 @@ def export_solution(
         o += int(nk)
     if measurements is not None and weights is not None:
         loop_closure_report(measurements, weights, prefix + "_loops.json")
+    from dpgo_ros_tpu.utils.viz import write_html
+
+    write_html(
+        prefix + ".html", trajectory, num_poses, measurements, weights
+    )
