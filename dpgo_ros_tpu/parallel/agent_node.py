@@ -191,6 +191,42 @@ class PGOAgentNode:
     def num_poses(self) -> int:
         return self.n_local
 
+    # team management parity (reference setRobotActive/isRobotActive/
+    # numActiveRobots/isRobotInitialized, ``PGOAgentROS.cpp:378-399,450-470``)
+
+    def set_robot_active(self, robot_id: int, active: bool = True) -> None:
+        if active:
+            self.active_robots.add(robot_id)
+        else:
+            self.active_robots.discard(robot_id)
+        self._edge_mask_cache = None
+
+    def is_robot_active(self, robot_id: int) -> bool:
+        return robot_id in self.active_robots
+
+    def num_active_robots(self) -> int:
+        return len(self.active_robots)
+
+    def is_robot_initialized(self, robot_id: int) -> bool:
+        if robot_id == self.id:
+            return self.state == AgentState.INITIALIZED
+        st = self.team_status.get(robot_id)
+        return st is not None and st.state == AgentState.INITIALIZED
+
+    def set_connected_peers(self, peers) -> None:
+        """Connectivity feed (the reference's external
+        ``/<robot>/connected_peer_ids`` topic, ``PGOAgentROS.cpp:61-63,
+        909-922``): restrict the active set to reachable robots. Cluster
+        re-election on disconnect (``:1478-1486``) is implicit —
+        cluster_id = min(active set), so a partitioned component elects its
+        lowest id as leader."""
+        peers = set(peers) | {self.id}
+        new_active = self.active_robots & peers
+        if new_active != self.active_robots:
+            self.active_robots = new_active
+            self._edge_mask_cache = None
+            self.logger.log_event("CONNECTIVITY_CHANGE")
+
     def trajectory_world(self) -> Optional[np.ndarray]:
         """Own block in the world frame (``getTrajectoryInGlobalFrame``)."""
         if self.X is None or self.Ylift is None:
@@ -491,7 +527,12 @@ class PGOAgentNode:
     def _edge_mask(self) -> jnp.ndarray:
         """Edges are active only when both endpoints are known and both
         endpoint robots are active (active-robot masking / inactive
-        neighbors, reference ``activeLoopClosures`` semantics)."""
+        neighbors, reference ``activeLoopClosures`` semantics). Cached;
+        invalidated when the active set or known-slot set changes."""
+        cache = self._edge_mask_cache
+        key = (frozenset(self.active_robots), int(self._slot_known.sum()))
+        if cache is not None and cache[0] == key:
+            return cache[1]
         m = self.measurements
         E = len(m)
         ok = np.ones((E,), bool)
@@ -508,7 +549,9 @@ class PGOAgentNode:
                     self.neighbor_slots[(robot, frame)]
                 ]:
                     ok[k] = False
-        return jnp.asarray(ok.astype(np.float64), self.dtype)
+        mask = jnp.asarray(ok.astype(np.float64), self.dtype)
+        self._edge_mask_cache = (key, mask)
+        return mask
 
     def _local_init_trajectory(self) -> np.ndarray:
         """Odometry or chordal init on the private subgraph, in the LOCAL
@@ -979,6 +1022,14 @@ class PGOAgentNode:
                 for k in range(len(m))
             }
             self.final_weights = w
+            # robustOptMinConvergenceRatio gate (reference
+            # ``PGOAgentROSNode.cpp:212-221``): warn when too few loop
+            # closures were decided by the GNC rounds
+            if self.config.robust_cost_type == RobustCostType.GNC_TLS:
+                dec = int(((w[loops] >= 1 - 1e-6) | (w[loops] <= 1e-6)).sum())
+                ratio = dec / max(int(loops.sum()), 1)
+                if ratio < self.config.robust_opt_min_convergence_ratio:
+                    self.logger.log_event("GNC_LOW_CONVERGENCE")
         self.final_trajectory = self.trajectory_world()
         self.cached_trajectory = self.final_trajectory
         self.final_iterations = self.solved_iterations

@@ -38,11 +38,31 @@ class DistributedController:
             for k in range(data.num_robots)
         ]
 
+    def _connectivity(self, robot_id: int) -> set:
+        """Reachable peers of ``robot_id`` given transport faults (the
+        external connectivity feed of the reference)."""
+        dead = getattr(self.transport, "dead", set())
+        part = getattr(self.transport, "partitioned", set())
+        if robot_id in dead:
+            return set()
+        return {
+            k
+            for k in range(self.data.num_robots)
+            if k != robot_id
+            and k not in dead
+            and tuple(sorted((robot_id, k))) not in part
+        }
+
     def run(self, max_ticks: int = 10_000) -> Dict:
+        from dpgo_ros_tpu.parallel.comm import LossyTransport
+
+        feed_connectivity = isinstance(self.transport, LossyTransport)
         for t in range(max_ticks):
             self.transport.tick()
             for a in self.agents:
                 if not _is_dead(self.transport, a.id):
+                    if feed_connectivity:
+                        a.set_connected_peers(self._connectivity(a.id))
                     a.runOnce()
             if all(a.terminated for a in self.agents if not _is_dead(self.transport, a.id)):
                 break

@@ -618,11 +618,19 @@ class RBCDEngine:
             acc, rej, und = robust.classify_weights(
                 state.weights, prob.edges.is_loop, prob.edges.mask
             )
+            total = int(acc) + int(rej) + int(und)
+            ratio = (int(acc) + int(rej)) / max(total, 1)
             info["gnc_stats"] = {
                 "accepted": int(acc),
                 "rejected": int(rej),
                 "undecided": int(und),
+                "convergence_ratio": ratio,
             }
+            # reference robustOptMinConvergenceRatio gate
+            # (``PGOAgentROSNode.cpp:212-221``)
+            info["gnc_converged"] = (
+                ratio >= cfg.robust_opt_min_convergence_ratio
+            )
         return state, info
 
     def make_fused_run(self, max_iters: int):

@@ -176,6 +176,25 @@ def test_warm_start_across_rounds():
     assert _global_cost(data, T) < 18.52 * 1.05
 
 
+def test_partitioned_fleet_forms_two_clusters():
+    """A link partition splits the fleet: each component elects its lowest
+    id as leader (reference cluster re-election, ``PGOAgentROS.cpp:1478-1486``)
+    and solves independently."""
+    data = load_g2o_dataset("smallGrid3D", num_robots=3)
+    cfg = _cfg(3, tol=0.3, timeout_threshold=8.0)
+    # robot 2 unreachable from 0 and 1
+    tr = LossyTransport(3, partitioned=[(0, 2), (1, 2)])
+    ctl = DistributedController(data, cfg, transport=tr)
+    res = ctl.run(max_ticks=4000)
+    assert ctl.agents[2].cluster_id == 2
+    assert ctl.agents[2].is_leader()
+    assert ctl.agents[0].cluster_id == 0
+    # both clusters terminate and produce their own trajectories
+    assert all(res["terminated"])
+    assert res["trajectories"].get(0) is not None
+    assert res["trajectories"].get(2) is not None
+
+
 def test_cluster_id_is_min_active():
     data = load_g2o_dataset("tinyGrid3D", num_robots=2)
     ctl = DistributedController(data, _cfg(2))
