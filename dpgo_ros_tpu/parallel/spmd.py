@@ -41,6 +41,75 @@ from dpgo_ros_tpu.ops.quadratic import EdgeSet
 from dpgo_ros_tpu.utils.config import AgentConfig, RobustCostType
 
 
+def group_robots(data, num_groups: int):
+    """Remap a fleet onto ``num_groups`` "super-robots" (contiguous robot
+    ranges) so a fleet larger than the mesh fits: each device owns one group
+    and its masked solve jointly optimizes the whole group's poses (a larger
+    block — strictly better conditioning than per-robot updates).
+
+    Returns a new PoseGraphData with robots relabeled to groups.
+    """
+    import numpy as _np
+
+    from dpgo_ros_tpu.types import EdgeType, MeasurementBatch, PoseGraphData
+
+    nR = data.num_robots
+    assert 1 <= num_groups <= nR
+    per = nR // num_groups
+    group_of = _np.minimum(_np.arange(nR) // per, num_groups - 1)
+    # frame offset of each original robot within its group
+    frame_off = _np.zeros(nR, _np.int64)
+    for g in range(num_groups):
+        members = _np.where(group_of == g)[0]
+        off = 0
+        for m in members:
+            frame_off[m] = off
+            off += int(data.num_poses[m])
+    mb = data.measurements
+    src_robot = group_of[mb.src_robot].astype(_np.int32)
+    dst_robot = group_of[mb.dst_robot].astype(_np.int32)
+    src_frame = (frame_off[mb.src_robot] + mb.src_frame).astype(_np.int32)
+    dst_frame = (frame_off[mb.dst_robot] + mb.dst_frame).astype(_np.int32)
+    same = src_robot == dst_robot
+    # standard classification in group coordinates: consecutive same-group
+    # edges are odometry (this heals odometry chains across original-robot
+    # boundaries inside a group — crucial for odometry initialization)
+    odo = same & (src_frame + 1 == dst_frame) & (
+        mb.edge_type != EdgeType.PRIVATE_LOOP_CLOSURE
+    )
+    et = _np.where(
+        odo,
+        EdgeType.ODOMETRY,
+        _np.where(
+            same, EdgeType.PRIVATE_LOOP_CLOSURE, EdgeType.SHARED_LOOP_CLOSURE
+        ),
+    ).astype(_np.int32)
+    grouped = MeasurementBatch(
+        src_robot=src_robot,
+        src_frame=src_frame,
+        dst_robot=dst_robot,
+        dst_frame=dst_frame,
+        R=mb.R,
+        t=mb.t,
+        kappa=mb.kappa,
+        tau=mb.tau,
+        weight=mb.weight,
+        fixed_weight=mb.fixed_weight | (et == EdgeType.ODOMETRY),
+        edge_type=et,
+    )
+    num_poses = _np.array(
+        [
+            int(sum(data.num_poses[m] for m in _np.where(group_of == g)[0]))
+            for g in range(num_groups)
+        ],
+        _np.int64,
+    )
+    return PoseGraphData(
+        measurements=grouped, num_poses=num_poses, d=data.d,
+        initial_guess=None,
+    )
+
+
 @dataclasses.dataclass
 class ShardedProblem:
     """Host-side container of the per-device tensors (numpy, pre-sharding)."""

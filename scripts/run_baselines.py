@@ -1,0 +1,168 @@
+"""Run every BASELINE.json config end-to-end and record results.
+
+Writes ``baseline_results.json`` at the repo root:
+  1. tinyGrid3D single-agent L2, odometry init
+  2. smallGrid3D + cubicle 2-robot synchronous RBCD
+  3. sphere2500 5-robot (plain + Nesterov acceleration)
+  4. parking-garage + torus3D asynchronous ASAPP, RGD stepsize sweep
+  5. tunnels 8-robot GNC-TLS
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from dpgo_ros_tpu.utils.hostenv import ensure_cpu_devices
+
+ensure_cpu_devices(8)
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp
+import numpy as np
+
+from dpgo_ros_tpu.io.datasets import load_g2o_dataset, load_tunnels
+from dpgo_ros_tpu.models.problem import LiftedProblem
+from dpgo_ros_tpu.ops import quadratic
+from dpgo_ros_tpu.parallel.asapp import ASAPPEngine
+from dpgo_ros_tpu.parallel.rbcd import RBCDEngine
+from dpgo_ros_tpu.utils.config import (
+    AgentConfig,
+    InitMethod,
+    RobustCostType,
+    UpdateRule,
+)
+
+RESULTS = {}
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def solve(tag, data, cfg, max_iters=None):
+    prob = LiftedProblem.from_data(data, r=cfg.relaxation_rank)
+    eng = RBCDEngine(prob, cfg)
+    t0 = time.time()
+    st = eng.initialize()
+    f0 = float(st.cost)
+    st, info = eng.run(st, max_iters=max_iters)
+    T, st = eng.finalize(st)
+    out = {
+        "init_cost": f0,
+        "final_cost": info["final_cost"],
+        "iterations": info["iterations"],
+        "converged": info["converged"],
+        "wall_sec": round(time.time() - t0, 1),
+    }
+    if "gnc_stats" in info:
+        out["gnc_stats"] = info["gnc_stats"]
+    RESULTS[tag] = out
+    log(f"{tag}: {out}")
+    return T, st, eng, prob
+
+
+# 1 — tinyGrid3D single-agent L2
+solve(
+    "tinyGrid3D_1robot_L2",
+    load_g2o_dataset("tinyGrid3D", num_robots=1),
+    AgentConfig(
+        num_robots=1,
+        local_initialization_method=InitMethod.ODOMETRY,
+        relative_change_tolerance=1e-2,
+        max_iteration_number=50,
+        RTR_gradnorm_tol=0.1,
+    ),
+)
+
+# 2 — smallGrid3D + cubicle 2-robot synchronous RBCD
+for name, tol in [("smallGrid3D", 1e-2), ("cubicle", 0.5)]:
+    solve(
+        f"{name}_2robot_sync",
+        load_g2o_dataset(name, num_robots=2),
+        AgentConfig(
+            num_robots=2,
+            update_rule=UpdateRule.ROUND_ROBIN,
+            local_initialization_method=InitMethod.ODOMETRY,
+            relative_change_tolerance=tol,
+            max_iteration_number=200,
+            RTR_gradnorm_tol=0.5,
+        ),
+    )
+
+# 3 — sphere2500 5-robot demo (plain + accelerated)
+for accel in (False, True):
+    solve(
+        f"sphere2500_5robot{'_accel' if accel else ''}",
+        load_g2o_dataset("sphere2500", num_robots=5),
+        AgentConfig(
+            num_robots=5,
+            update_rule=UpdateRule.ROUND_ROBIN,
+            local_initialization_method=InitMethod.CHORDAL,
+            acceleration=accel,
+            relative_change_tolerance=0.2,
+            max_iteration_number=1000,
+            RTR_gradnorm_tol=0.5,
+        ),
+    )
+
+# 4 — parking-garage + torus3D asynchronous ASAPP with stepsize sweep
+for name in ("parking-garage", "torus3D"):
+    data = load_g2o_dataset(name, num_robots=5)
+    prob = LiftedProblem.from_data(data, r=5)
+    best = None
+    for stepsize in (0.05, 0.2, 0.5):
+        cfg = AgentConfig(
+            num_robots=5,
+            asynchronous=True,
+            RGD_stepsize=stepsize,
+            max_delayed_iterations=3,
+            local_initialization_method=InitMethod.ODOMETRY,
+        )
+        rb = RBCDEngine(prob, cfg)
+        st0 = rb.initialize()
+        eng = ASAPPEngine(prob, cfg)
+        t0 = time.time()
+        st, info = eng.run(st0.X, num_ticks=600, chunk=100)
+        f = float(quadratic.cost(st.X, prob.edges))
+        log(f"{name} asapp stepsize={stepsize}: {f:.4e} "
+            f"({time.time()-t0:.0f}s)")
+        if best is None or f < best["final_cost"]:
+            best = {
+                "stepsize": stepsize,
+                "init_cost": float(quadratic.cost(st0.X, prob.edges)),
+                "final_cost": f,
+                "ticks": info["ticks"],
+            }
+    RESULTS[f"{name}_5robot_asapp"] = best
+    log(f"{name}_5robot_asapp best: {best}")
+
+# 5 — tunnels 8-robot GNC (reference dpgo_gnc_demo config + adaptive schedule)
+solve(
+    "tunnels_8robot_gnc",
+    load_tunnels(),
+    AgentConfig(
+        num_robots=8,
+        update_rule=UpdateRule.ROUND_ROBIN,
+        local_initialization_method=InitMethod.ODOMETRY,
+        robust_cost_type=RobustCostType.GNC_TLS,
+        GNC_use_probability=False,
+        GNC_barc=3.0,
+        robust_opt_num_weight_updates=3,
+        robust_opt_num_resets=1,
+        robust_opt_inner_iters_per_robot=50,
+        relative_change_tolerance=0.2,
+        RTR_gradnorm_tol=0.5,
+    ),
+)
+
+with open(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "baseline_results.json"), "w") as f:
+    json.dump(RESULTS, f, indent=1)
+log("wrote baseline_results.json")

@@ -92,6 +92,40 @@ def test_spmd_gnc_weight_round():
     assert mu > 1e-5  # mu advanced
 
 
+def test_spmd_more_robots_than_devices_via_grouping():
+    """8 robots on a 4-device mesh: robots group into super-blocks."""
+    from dpgo_ros_tpu.parallel.spmd import group_robots
+
+    data = load_g2o_dataset("smallGrid3D", num_robots=8)
+    grouped = group_robots(data, 4)
+    assert grouped.num_robots == 4
+    assert grouped.total_poses == data.total_poses
+    assert len(grouped.measurements) == len(data.measurements)
+    prob = LiftedProblem.from_data(grouped, r=5, dtype=jnp.float32)
+    cfg = AgentConfig(
+        num_robots=4,
+        update_rule=UpdateRule.PARALLEL,
+        local_initialization_method=InitMethod.ODOMETRY,
+        RTR_gradnorm_tol=0.5,
+        dtype="float32",
+    )
+    eng = RBCDEngine(prob, cfg)
+    st0 = eng.initialize()
+    sp = ShardedProblem.build(
+        prob, np.asarray(st0.X, np.float32), eng.robot_colors, num_devices=4
+    )
+    mesh = Mesh(np.array(jax.devices()[:4]), ("robots",))
+    st, step = build_spmd_step(sp, mesh, cfg)
+    for it in range(60):
+        st = step(np.int32(it), np.int32(0), st)
+        st.X.block_until_ready()
+    Xg = gather_trajectory(sp, st, prob.num_poses)
+    f = float(
+        quadratic.cost(jnp.asarray(Xg, jnp.float64), eng._edges(st0.weights))
+    )
+    assert f < 1025.4 * 1.01  # centralized optimum
+
+
 def test_spmd_more_devices_than_robots():
     """Empty mesh slots (8 devices, 5 robots) must be inert."""
     data = load_g2o_dataset("smallGrid3D", num_robots=5)
