@@ -269,7 +269,11 @@ class PGOAgentNode:
     # ------------------------------------------------------------ dispatch
 
     def _dispatch(self, msg) -> None:
-        self.bytes_received += 1
+        from dpgo_ros_tpu.parallel.comm import _msg_bytes
+
+        # received-bytes accounting (reference ``PGOAgentROS.cpp:1283``,
+        # ``utils.cpp:251-260``)
+        self.bytes_received += _msg_bytes(msg)
         if isinstance(msg, Command):
             self._on_command(msg)
         elif isinstance(msg, PublicPoses):
@@ -867,6 +871,15 @@ class PGOAgentNode:
         self.V = V_new
         self.iteration = self._executing_iteration
         self.solved_iterations += 1
+        if self.config.publish_iterate:
+            # per-iteration trajectory stream (reference publishIterate,
+            # ``PGOAgentROS.cpp:178-189``) — kept as an in-memory history
+            # consumable by visualization
+            if not hasattr(self, "iterate_history"):
+                self.iterate_history = []
+            self.iterate_history.append(
+                (self.iteration, self.trajectory_world())
+            )
         self.ready_to_terminate = (
             self.relative_change < self.config.relative_change_tolerance
         )
