@@ -197,6 +197,7 @@ def _tcg(X, e, mask, G, Pinv, radius, params: RTRParams):
 
 class _TRState(NamedTuple):
     X: jnp.ndarray
+    G: jnp.ndarray  # Euclidean gradient at X (carried — one egrad/iteration)
     f: jnp.ndarray
     radius: jnp.ndarray
     k: jnp.ndarray
@@ -224,6 +225,7 @@ def rtr_solve(
 
     st = _TRState(
         X=X,
+        G=G0,
         f=f0,
         radius=jnp.asarray(params.initial_radius, X.dtype),
         k=jnp.array(0, jnp.int32),
@@ -235,8 +237,7 @@ def rtr_solve(
         return (~s.done) & (s.k < params.max_iterations)
 
     def body(s):
-        G = quadratic.egrad(s.X, e)
-        eta, Heta, g = _tcg(s.X, e, mask, G, Pinv, s.radius, params)
+        eta, Heta, g = _tcg(s.X, e, mask, s.G, Pinv, s.radius, params)
         # model decrease: m(0) − m(η) = −<g,η> − ½<η,Hη>
         pred = -(stiefel.inner(g, eta) + 0.5 * stiefel.inner(eta, Heta))
         X_try = stiefel.retract_polar_ns(s.X, eta)
@@ -256,11 +257,13 @@ def rtr_solve(
         )
         X_new = jnp.where(accept, X_try, s.X)
         f_new = jnp.where(accept, f_try, s.f)
+        G_new = jnp.where(accept, quadratic.egrad(X_try, e), s.G)
         gn = stiefel.tangent_norm(
-            mask * stiefel.proj_tangent(X_new, quadratic.egrad(X_new, e))
+            mask * stiefel.proj_tangent(X_new, G_new)
         )
         return _TRState(
             X=X_new,
+            G=G_new,
             f=f_new,
             radius=radius_new,
             k=s.k + 1,
