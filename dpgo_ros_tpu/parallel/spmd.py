@@ -262,6 +262,7 @@ class SpmdState(NamedTuple):
     rel_change: jnp.ndarray  # (M, 1)
     weights: jnp.ndarray  # (M, E_max)
     mu: jnp.ndarray  # (M, 1)
+    wuc: jnp.ndarray  # (M, 1) int32 — weight-update round counter
 
 
 def build_spmd_step(
@@ -406,22 +407,50 @@ def build_spmd_step(
         # --- optional GNC weight round (UPDATE_WEIGHT analogue) ----------
         w = st.weights[0]
         mu = st.mu[0, 0]
+        wuc = st.wuc[0, 0]
         if gnc:
             def weight_round(args):
-                w0, mu0 = args
+                w0, mu0, k0 = args
                 Xall = jax.lax.all_gather(X_own_new, axis).reshape(
                     M * n_max, sp.r, sp.d + 1
                 )
                 T = rounding.round_solution(Xall)
                 res_e = robust.measurement_residuals(T, e)
                 fixed = 1.0 - e.is_loop
-                w1, mu1 = robust.update_weights_gnc(
-                    w0, fixed, res_e, mu0, cfg.GNC_barc, cfg.GNC_mu_step
+                if getattr(cfg, "GNC_schedule", "reference") == "adaptive":
+                    # global residual scale agreed across devices via pmean
+                    # of local P90s (each device then computes identical
+                    # weights for its copies of shared edges)
+                    lm = e.is_loop * e.mask
+                    rn = jnp.where(lm > 0, res_e, jnp.nan)
+                    p90l = jnp.nan_to_num(
+                        jnp.nanpercentile(rn, 90.0), nan=cfg.GNC_barc
+                    )
+                    p90 = jnp.maximum(
+                        jax.lax.pmean(p90l, axis), cfg.GNC_barc
+                    )
+                    K = max(int(cfg.robust_opt_num_weight_updates), 1)
+                    alpha = (k0.astype(res_e.dtype) + 1.0) / K
+                    barc_k = jnp.maximum(
+                        jnp.exp(
+                            (1.0 - alpha) * jnp.log(p90)
+                            + alpha * jnp.log(cfg.GNC_barc)
+                        ),
+                        cfg.GNC_barc,
+                    )
+                    mu_use = jnp.asarray(3.0, res_e.dtype)
+                else:
+                    mu_use, barc_k = mu0, cfg.GNC_barc
+                w1, _ = robust.update_weights_gnc(
+                    w0, fixed, res_e, mu_use, barc_k, cfg.GNC_mu_step
                 )
-                return w1, mu1
+                return w1, mu0 * cfg.GNC_mu_step, k0 + 1
 
-            w, mu = jax.lax.cond(
-                do_weight_update > 0, weight_round, lambda a: a, (w, mu)
+            w, mu, wuc = jax.lax.cond(
+                do_weight_update > 0,
+                weight_round,
+                lambda a: a,
+                (w, mu, wuc),
             )
 
         return SpmdState(
@@ -433,11 +462,13 @@ def build_spmd_step(
             rel_change=jnp.asarray(rc)[None, None],
             weights=w[None],
             mu=jnp.asarray(mu)[None, None],
+            wuc=jnp.asarray(wuc)[None, None],
         )
 
     spec_state = SpmdState(
         X=P(axis), X_prev=P(axis), V=P(axis), theta=P(axis),
         iteration=P(axis), rel_change=P(axis), weights=P(axis), mu=P(axis),
+        wuc=P(axis),
     )
     spec_consts = {k: P(axis) for k in consts}
 
@@ -463,6 +494,7 @@ def build_spmd_step(
         rel_change=jnp.full((M, 1), jnp.inf, dtype),
         weights=jnp.asarray(sp.weight),
         mu=jnp.full((M, 1), cfg.GNC_init_mu, dtype),
+        wuc=jnp.zeros((M, 1), jnp.int32),
     )
     with mesh:
         init = jax.device_put(
@@ -476,6 +508,7 @@ def build_spmd_step(
                 rel_change=NamedSharding(mesh, P(axis)),
                 weights=NamedSharding(mesh, P(axis)),
                 mu=NamedSharding(mesh, P(axis)),
+                wuc=NamedSharding(mesh, P(axis)),
             ),
         )
     return init, step
