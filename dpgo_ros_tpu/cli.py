@@ -90,6 +90,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--GNC_barc", type=float, default=5.0)
     p.add_argument("--GNC_mu_step", type=float, default=2.0)
     p.add_argument("--GNC_init_mu", type=float, default=1e-5)
+    p.add_argument(
+        "--GNC_schedule",
+        choices=["adaptive", "geometric", "reference"],
+        default="adaptive",
+        help="mu schedule; 'reference' reproduces the reference "
+        "init_mu*mu_step^k parameterization",
+    )
+    p.add_argument("--GNC_mu_start", type=float, default=0.05)
+    p.add_argument("--GNC_mu_end", type=float, default=1e3)
+    p.add_argument("--gnc_finalize_by_residual", type=_bool, default=True)
     p.add_argument("--robust_opt_num_weight_updates", type=int, default=4)
     p.add_argument("--robust_opt_num_resets", type=int, default=0)
     p.add_argument("--robust_opt_min_convergence_ratio", type=float, default=0.0)
@@ -144,6 +154,10 @@ def args_to_config(a):
         GNC_barc=a.GNC_barc,
         GNC_mu_step=a.GNC_mu_step,
         GNC_init_mu=a.GNC_init_mu,
+        GNC_schedule=a.GNC_schedule,
+        GNC_mu_start=a.GNC_mu_start,
+        GNC_mu_end=a.GNC_mu_end,
+        gnc_finalize_by_residual=a.gnc_finalize_by_residual,
         robust_opt_num_weight_updates=a.robust_opt_num_weight_updates,
         robust_opt_num_resets=a.robust_opt_num_resets,
         robust_opt_min_convergence_ratio=a.robust_opt_min_convergence_ratio,
@@ -257,9 +271,16 @@ def main(argv=None) -> int:
             ShardedProblem,
             build_spmd_step,
             gather_trajectory,
+            group_robots,
         )
         from dpgo_ros_tpu.ops import rounding
+        from dpgo_ros_tpu.utils.config import RobustCostType
 
+        # fleets larger than the mesh: group robots into super-blocks
+        M = min(len(jax.devices()), max(data.num_robots, 1))
+        if data.num_robots > M:
+            data = group_robots(data, M)
+            cfg = dataclasses.replace(cfg, num_robots=M)
         prob = LiftedProblem.from_data(
             data, r=cfg.relaxation_rank, dtype=jnp.float32
         )
@@ -269,15 +290,29 @@ def main(argv=None) -> int:
             prob,
             np.asarray(st0.X, np.float32),
             eng.robot_colors,
-            num_devices=min(len(jax.devices()), max(data.num_robots, 1)),
+            num_devices=M,
         )
         mesh = Mesh(np.array(jax.devices()[: sp.M]), ("robots",))
         st, step = build_spmd_step(sp, mesh, cfg)
+        gnc = cfg.robust_cost_type == RobustCostType.GNC_TLS
+        inner = cfg.robust_opt_inner_iters_per_robot * cfg.num_robots
         for it in range(cfg.max_iteration_number):
-            st = step(np.int32(it), np.int32(0), st)
+            # GNC weight rounds on the reference cadence
+            wu = int(
+                gnc
+                and it > 0
+                and it % inner == 0
+                and int(np.asarray(st.wuc)[0, 0])
+                < cfg.robust_opt_num_weight_updates
+            )
+            st = step(np.int32(it), np.int32(wu), st)
             if it % 20 == 19:
                 rc = float(np.max(np.asarray(st.rel_change)))
-                if rc < cfg.relative_change_tolerance:
+                if rc < cfg.relative_change_tolerance and (
+                    not gnc
+                    or int(np.asarray(st.wuc)[0, 0])
+                    >= cfg.robust_opt_num_weight_updates
+                ):
                     break
         Xg = gather_trajectory(sp, st, prob.num_poses)
         T = np.asarray(

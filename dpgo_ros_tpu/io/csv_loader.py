@@ -23,8 +23,17 @@ def load_measurements_csv(path: str) -> MeasurementBatch:
 
     ``is_known_inlier`` maps to ``fixed_weight`` (a known-inlier edge keeps
     weight 1 under GNC, exactly the reference's fixedWeight semantics,
-    ``src/utils.cpp:141-149``).
+    ``src/utils.cpp:141-149``). Uses the native C++ parser when available
+    (``DPGO_TPU_NO_NATIVE=1`` forces the Python path).
     """
+    import os
+
+    if os.environ.get("DPGO_TPU_NO_NATIVE") != "1":
+        from dpgo_ros_tpu.io import native
+
+        m = native.read_csv_native(path) if native.available() else None
+        if m is not None and len(m) > 0:
+            return m
     raw = np.genfromtxt(path, delimiter=",", names=True, dtype=np.float64)
     raw = np.atleast_1d(raw)
     E = raw.shape[0]
@@ -40,13 +49,9 @@ def load_measurements_csv(path: str) -> MeasurementBatch:
     dst_robot = raw["robot_dst"].astype(np.int32)
     src_frame = raw["pose_src"].astype(np.int32)
     dst_frame = raw["pose_dst"].astype(np.int32)
-    same = src_robot == dst_robot
-    odo = same & (src_frame + 1 == dst_frame)
-    edge_type = np.where(
-        odo,
-        EdgeType.ODOMETRY,
-        np.where(same, EdgeType.PRIVATE_LOOP_CLOSURE, EdgeType.SHARED_LOOP_CLOSURE),
-    ).astype(np.int32)
+    from dpgo_ros_tpu.io.partition import classify_edge_types
+
+    edge_type = classify_edge_types(src_robot, src_frame, dst_robot, dst_frame)
     return MeasurementBatch(
         src_robot=src_robot,
         src_frame=src_frame,

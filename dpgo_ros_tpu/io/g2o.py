@@ -22,6 +22,7 @@ result feeds static-shape device tensors.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -89,7 +90,17 @@ def read_g2o(
     ``max(pose id seen) + 1``, matching the reference's
     ``read_g2o_file(filename, num_poses)`` contract
     (``src/PGODatasetPublisherNode.cpp:80-83``).
+
+    Uses the native C++ parser (native/g2o_parser.cpp, 3D files only) when
+    available; set ``DPGO_TPU_NO_NATIVE=1`` to force the Python path.
     """
+    if os.environ.get("DPGO_TPU_NO_NATIVE") != "1":
+        from dpgo_ros_tpu.io import native
+
+        if native.available():
+            out = native.read_g2o_native(path)
+            if out is not None and (len(out[0]) > 0 or out[2] is not None):
+                return out
     src, dst = [], []
     Rs, ts, kappas, taus = [], [], [], []
     vertices: Dict[int, np.ndarray] = {}

@@ -33,7 +33,12 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     if _build_failed:
         return None
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(_NATIVE_DIR, "g2o_parser.cpp")
+    stale = not os.path.exists(_LIB_PATH) or (
+        os.path.exists(src)
+        and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+    )
+    if stale:
         try:
             subprocess.run(
                 ["make", "-C", _NATIVE_DIR],
@@ -104,13 +109,9 @@ def _extract(lib, h) -> Tuple[MeasurementBatch, int, Optional[Dict[int, np.ndarr
         lib.dpgo_get_vertices(ctypes.c_void_p(h), _ptr(ids), _ptr(T))
         vertices = {int(ids[k]): T[k] for k in range(V)}
     lib.dpgo_free(ctypes.c_void_p(h))
-    same = src_robot == dst_robot
-    odo = same & (src_frame + 1 == dst_frame)
-    edge_type = np.where(
-        odo,
-        EdgeType.ODOMETRY,
-        np.where(same, EdgeType.PRIVATE_LOOP_CLOSURE, EdgeType.SHARED_LOOP_CLOSURE),
-    ).astype(np.int32)
+    from dpgo_ros_tpu.io.partition import classify_edge_types
+
+    edge_type = classify_edge_types(src_robot, src_frame, dst_robot, dst_frame)
     m = MeasurementBatch(
         src_robot=src_robot,
         src_frame=src_frame,

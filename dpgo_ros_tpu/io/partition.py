@@ -21,6 +21,24 @@ from dpgo_ros_tpu.io.g2o import read_g2o
 from dpgo_ros_tpu.types import EdgeType, MeasurementBatch, PoseGraphData
 
 
+def classify_edge_types(
+    src_robot, src_frame, dst_robot, dst_frame
+) -> np.ndarray:
+    """Edge classification shared by every ingestion/regrouping path
+    (reference rules, ``PGODatasetPublisherNode.cpp:108-135``): same robot &
+    consecutive frames → odometry; same robot otherwise → private loop
+    closure; different robots → shared loop closure."""
+    same = np.asarray(src_robot) == np.asarray(dst_robot)
+    odo = same & (np.asarray(src_frame) + 1 == np.asarray(dst_frame))
+    return np.where(
+        odo,
+        EdgeType.ODOMETRY,
+        np.where(
+            same, EdgeType.PRIVATE_LOOP_CLOSURE, EdgeType.SHARED_LOOP_CLOSURE
+        ),
+    ).astype(np.int32)
+
+
 def contiguous_partition(n: int, num_robots: int) -> Tuple[np.ndarray, np.ndarray]:
     """Return (robot_of_pose, local_frame_of_pose), each (n,).
 
@@ -49,13 +67,7 @@ def partition_measurements(
     dst_robot = robot[batch.dst_frame]
     src_frame = local[batch.src_frame]
     dst_frame = local[batch.dst_frame]
-    same = src_robot == dst_robot
-    odo = same & (src_frame + 1 == dst_frame)
-    edge_type = np.where(
-        odo,
-        EdgeType.ODOMETRY,
-        np.where(same, EdgeType.PRIVATE_LOOP_CLOSURE, EdgeType.SHARED_LOOP_CLOSURE),
-    ).astype(np.int32)
+    edge_type = classify_edge_types(src_robot, src_frame, dst_robot, dst_frame)
     out = MeasurementBatch(
         src_robot=src_robot.astype(np.int32),
         src_frame=src_frame,

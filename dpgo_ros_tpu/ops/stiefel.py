@@ -68,15 +68,19 @@ def retract_polar(X: jnp.ndarray, V: jnp.ndarray) -> jnp.ndarray:
 
 
 def retract_polar_ns(
-    X: jnp.ndarray, V: jnp.ndarray, iters: int = 12
+    X: jnp.ndarray, V: jnp.ndarray, iters: int = 20
 ) -> jnp.ndarray:
     """Polar retraction via Newton–Schulz iteration — matmul-only, no
     eigendecomposition; the TPU hot-path variant of :func:`retract_polar`.
 
-    X_{k+1} = ½ X_k (3I − X_kᵀX_k) converges quadratically to polar(A) for
-    σ(A) ∈ (0, √3). A = Y + V_Y is pre-scaled by trace normalization
-    (σ_max(A/s)² ≤ d with s² = tr(AᵀA)/d... scaled by 1/√d margin) so the
-    iteration is safely contractive for any tangent step.
+    X_{k+1} = ½ X_k (3I − X_kᵀX_k) converges to polar(A) for σ(A) ∈ (0, √3).
+    A = Y + V_Y is pre-scaled by trace normalization (σ_max ≤ 1), so the
+    iteration is contractive for any tangent step. The default 20 iterations
+    covers σ_min down to ~1e-3 (small singular values grow ×1.5/iteration
+    before the quadratic phase); each iteration is two tiny VPU
+    contractions, still ≫ faster than a batched eigh. A trust-region step
+    producing σ_min ≪ 1e-3 is a (numerically) rank-deficient pose block,
+    where the polar factor is ill-defined for any method.
     """
     d = X.shape[-1] - 1
     Y, p = split(X)

@@ -165,6 +165,8 @@ class PGOAgentNode:
         self._last_schedule_tick = 0
         self._init_barrier_steps = 0
         self._pending_poses: List[PublicPoses] = []
+        self._deactivated_by_protocol: set = set()
+        self._edge_mask_cache = None
 
     # ---------------------------------------------------------- properties
 
@@ -216,12 +218,15 @@ class PGOAgentNode:
     def set_connected_peers(self, peers) -> None:
         """Connectivity feed (the reference's external
         ``/<robot>/connected_peer_ids`` topic, ``PGOAgentROS.cpp:61-63,
-        909-922``): restrict the active set to reachable robots. Cluster
-        re-election on disconnect (``:1478-1486``) is implicit —
+        909-922``): the active set tracks reachability both ways — a healed
+        partition re-admits robots (unless the protocol deactivated them via
+        timeout, which only a SET_ACTIVE_ROBOTS/RECOVER round undoes).
+        Cluster re-election on disconnect (``:1478-1486``) is implicit —
         cluster_id = min(active set), so a partitioned component elects its
         lowest id as leader."""
         peers = set(peers) | {self.id}
-        new_active = self.active_robots & peers
+        deactivated = getattr(self, "_deactivated_by_protocol", set())
+        new_active = (peers & set(range(self.num_robots))) - deactivated
         if new_active != self.active_robots:
             self.active_robots = new_active
             self._edge_mask_cache = None
@@ -335,6 +340,10 @@ class PGOAgentNode:
             self._opt_requested = False
         elif c == CommandType.SET_ACTIVE_ROBOTS:
             self.active_robots = set(cmd.active_robots)
+            self._deactivated_by_protocol = set(
+                range(self.num_robots)
+            ) - set(cmd.active_robots)
+            self._edge_mask_cache = None
             if self.id not in self.active_robots:
                 self._opt_requested = False
         elif c == CommandType.NOOP:
@@ -1090,6 +1099,10 @@ class PGOAgentNode:
                     and self.team_status[k].state == AgentState.INITIALIZED
                 }
                 self.active_robots = act
+                self._deactivated_by_protocol = (
+                    set(range(self.num_robots)) - act
+                )
+                self._edge_mask_cache = None
                 self._broadcast(
                     CommandType.SET_ACTIVE_ROBOTS, active_robots=tuple(sorted(act))
                 )
@@ -1119,6 +1132,8 @@ class PGOAgentNode:
                     # drop the stuck robot and roll the team back
                     # (reference :1515-1575, :1191-1209)
                     self.active_robots = self.active_robots - {exec_robot}
+                    self._deactivated_by_protocol.add(exec_robot)
+                    self._edge_mask_cache = None
                     self._broadcast(
                         CommandType.SET_ACTIVE_ROBOTS,
                         active_robots=tuple(sorted(self.active_robots)),

@@ -198,18 +198,27 @@ class RBCDEngine:
             if cfg.local_initialization_method == InitMethod.GNC_TLS:
                 # robust local init (reference GNC_TLS init method): annealed
                 # truncation — reject private loop closures whose residual
-                # exceeds a shrinking cutoff, re-solving chordally each round
+                # exceeds a shrinking cutoff, re-solving chordally each
+                # round. robustInitMinInliers (reference
+                # ``PGOAgentROSNode.cpp:212-221``): never truncate below the
+                # minimum inlier count — stop tightening instead.
                 barc = cfg.GNC_barc
                 for factor in (10.0, 3.0, 1.5):
                     r_e = robust.measurement_residuals(
                         jnp.asarray(T, self.dtype), es
                     )
-                    w = jnp.where(
-                        odo > 0,
-                        1.0,
-                        (r_e <= factor * barc).astype(self.dtype),
+                    keep = np.asarray(odo > 0) | (
+                        np.asarray(r_e) <= factor * barc
                     )
-                    es = dataclasses.replace(es, weight=w)
+                    n_inlier_loops = int((keep & ~np.asarray(odo > 0)).sum())
+                    if n_inlier_loops < cfg.robust_init_min_inliers:
+                        break
+                    es = dataclasses.replace(
+                        es,
+                        weight=jnp.asarray(
+                            keep.astype(np.float64), self.dtype
+                        ),
+                    )
                     T = np.asarray(
                         chordal_ops.chordal_initialization(
                             es, nk, max_iters=500

@@ -51,7 +51,7 @@ timeit("retract_polar (eigh)", lambda X, V: stiefel.retract_polar(X, V), X, V)
 timeit("retract_polar_ns", lambda X, V: stiefel.retract_polar_ns(X, V), X, V)
 timeit("proj_tangent", lambda X, V: stiefel.proj_tangent(X, V), X, V)
 rtr = RTRParams(max_iterations=3, max_tcg_iterations=50, gradnorm_tol=0.5)
-timeit("rtr block update (current)", lambda X: rtr_solve(X, e, mask, P, rtr)[0], X, iters=10)
+timeit("rtr block update (current)", lambda X: rtr_solve(X, e, mask, Pinv, rtr)[0], X, iters=10)
 # accuracy check NS vs eigh
 a = stiefel.retract_polar(X, V); b = stiefel.retract_polar_ns(X, V)
 print("NS vs eigh max diff:", float(jnp.max(jnp.abs(a-b))), " on-manifold:", float(stiefel.check_on_manifold(b)))

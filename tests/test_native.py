@@ -13,9 +13,11 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def test_native_g2o_matches_python():
+def test_native_g2o_matches_python(monkeypatch):
     path = dataset_path("smallGrid3D")
+    monkeypatch.setenv("DPGO_TPU_NO_NATIVE", "1")  # force the Python path
     mp, n_p, vp = read_g2o(path)
+    monkeypatch.delenv("DPGO_TPU_NO_NATIVE")
     mn, n_n, vn = native.read_g2o_native(path)
     assert n_n == n_p
     assert len(mn) == len(mp)
@@ -30,9 +32,11 @@ def test_native_g2o_matches_python():
         assert np.allclose(vn[k], vp[k], atol=1e-12)
 
 
-def test_native_csv_matches_python():
+def test_native_csv_matches_python(monkeypatch):
     path = tunnels_paths()[0]
+    monkeypatch.setenv("DPGO_TPU_NO_NATIVE", "1")  # force the Python path
     mp = load_measurements_csv(path)
+    monkeypatch.delenv("DPGO_TPU_NO_NATIVE")
     mn = native.read_csv_native(path)
     assert len(mn) == len(mp)
     assert np.array_equal(mn.src_robot, mp.src_robot)
