@@ -116,6 +116,25 @@ def test_rtr_monotone_descent():
         f_prev = f
 
 
+def test_ate_distributed_vs_centralized():
+    """ATE parity oracle (BASELINE target 'match reference trajectories
+    within the ATE bound'): the distributed 2-robot solution must align to
+    the tight centralized solution within a small translational RMSE."""
+    # tight centralized oracle
+    engc = _engine("smallGrid3D", 1, tol=1e-3, max_iters=50,
+                   gradnorm_tol=1e-2)
+    stc, _ = engc.run()
+    Tc, _ = engc.finalize(stc)
+    # distributed solve at demo-like settings
+    engd = _engine("smallGrid3D", 2, tol=1e-2, max_iters=100,
+                   update_rule=UpdateRule.ROUND_ROBIN)
+    std, _ = engd.run()
+    Td, _ = engd.finalize(std)
+    ate = float(rounding.ate_translation(jnp.asarray(Td), jnp.asarray(Tc)))
+    # trajectory spans ~10 units; demand cm-scale agreement
+    assert ate < 0.05, ate
+
+
 def test_run_history_telemetry():
     eng = _engine("tinyGrid3D", 2, max_iters=20)
     _, info = eng.run()
