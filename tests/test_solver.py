@@ -116,6 +116,22 @@ def test_rtr_monotone_descent():
         f_prev = f
 
 
+def test_fused_runner_matches_host_driven():
+    """The single-XLA-program fused runner (bench hot path) must reach the
+    same cost region as the host-driven loop, and stop on the same
+    termination rule."""
+    eng = _engine("tinyGrid3D", 2, max_iters=60,
+                  update_rule=UpdateRule.ROUND_ROBIN)
+    st0 = eng.initialize()
+    st_host, info = eng.run(st0)
+    run = eng.make_fused_run(60)
+    st_fused = run(st0)
+    assert abs(float(st_fused.cost) - info["final_cost"]) < 1e-6 * (
+        1 + info["final_cost"]
+    )
+    assert int(st_fused.iteration) == info["iterations"]
+
+
 def test_ate_distributed_vs_centralized():
     """ATE parity oracle (BASELINE target 'match reference trajectories
     within the ATE bound'): the distributed 2-robot solution must align to
