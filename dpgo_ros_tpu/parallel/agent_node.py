@@ -167,6 +167,8 @@ class PGOAgentNode:
         self._pending_poses: List[PublicPoses] = []
         self._deactivated_by_protocol: set = set()
         self._edge_mask_cache = None
+        self._separator_ids_cache = None
+        self._edge_index = None
 
     # ---------------------------------------------------------- properties
 
@@ -447,10 +449,10 @@ class PGOAgentNode:
         if self.state == AgentState.INITIALIZED:
             self._publish_poses_requested = True
             return
-        self._publish_shared_measurements()
-        if not self._sync_measurements():
-            return
         if not self.synced:
+            self._publish_shared_measurements()
+            if not self._sync_measurements():
+                return
             self._build_local_problem()
             self.synced = True
         self._try_initialize()
@@ -718,17 +720,17 @@ class PGOAgentNode:
     # ----------------------------------------------------------- public poses
 
     def _separator_ids(self) -> np.ndarray:
-        """Own poses touched by shared edges (what neighbors need)."""
+        """Own poses touched by shared edges (what neighbors need). Cached —
+        the measurement set is fixed after synchronization."""
+        if getattr(self, "_separator_ids_cache", None) is not None:
+            return self._separator_ids_cache
         m = self.measurements
-        ids = set()
-        for k in range(len(m)):
-            if m.edge_type[k] != EdgeType.SHARED_LOOP_CLOSURE:
-                continue
-            if int(m.src_robot[k]) == self.id:
-                ids.add(int(m.src_frame[k]))
-            if int(m.dst_robot[k]) == self.id:
-                ids.add(int(m.dst_frame[k]))
-        return np.asarray(sorted(ids), np.int32)
+        shared = m.edge_type == EdgeType.SHARED_LOOP_CLOSURE
+        own_src = m.src_frame[shared & (m.src_robot == self.id)]
+        own_dst = m.dst_frame[shared & (m.dst_robot == self.id)]
+        ids = np.unique(np.concatenate([own_src, own_dst])).astype(np.int32)
+        self._separator_ids_cache = ids
+        return ids
 
     def _publish_public_poses(self) -> None:
         if self.X is None:
@@ -776,25 +778,30 @@ class PGOAgentNode:
             and msg.destination_robot_id != self.id
         ):
             return
-        touched = False
-        for i, frame in enumerate(np.asarray(msg.pose_ids)):
-            key = (msg.robot_id, int(frame))
-            if key not in self.neighbor_slots:
-                continue
-            slot = self.neighbor_slots[key]
-            idx = self.n_local + slot
-            val = jnp.asarray(msg.poses[i], self.dtype)
-            if msg.is_auxiliary:
-                if self.V is not None:
-                    self.V = self.V.at[idx].set(val)
-            else:
-                if self.X is not None:
-                    self.X = self.X.at[idx].set(val)
-                    if self.V is not None and not self.config.acceleration:
-                        self.V = self.V.at[idx].set(val)
-                self._slot_known[slot] = True
-                touched = True
-        if touched:
+        # vectorized slot update: one scatter per message, not per pose
+        rows, slots = [], []
+        pose_ids = np.asarray(msg.pose_ids)
+        for i in range(pose_ids.shape[0]):
+            key = (msg.robot_id, int(pose_ids[i]))
+            slot = self.neighbor_slots.get(key)
+            if slot is not None:
+                rows.append(i)
+                slots.append(slot)
+        if not rows:
+            return
+        idx = jnp.asarray(np.asarray(slots) + self.n_local)
+        vals = jnp.asarray(msg.poses[np.asarray(rows)], self.dtype)
+        if msg.is_auxiliary:
+            if self.V is not None:
+                self.V = self.V.at[idx].set(vals)
+        else:
+            if self.X is not None:
+                self.X = self.X.at[idx].set(vals)
+                if self.V is not None and not self.config.acceleration:
+                    self.V = self.V.at[idx].set(vals)
+            if not self._slot_known[slots].all():
+                self._slot_known[slots] = True
+                self._edge_mask_cache = None
             self.iter_received[msg.robot_id] = max(
                 self.iter_received.get(msg.robot_id, -1),
                 msg.iteration_number,
@@ -924,27 +931,25 @@ class PGOAgentNode:
             loop_mask=self.edges.is_loop * self._edge_mask(),
         )
         mu, barc = float(mu_j), float(barc_j)
-        src_ids, src_f, dst_ids, dst_f, w_out, fixed_out = [], [], [], [], [], []
-        for k in range(len(m)):
-            if self.edges.is_loop[k] <= 0:
-                continue
-            a, b = int(m.src_robot[k]), int(m.dst_robot[k])
-            owner = min(a, b)
-            if owner != self.id and a != b:
-                continue  # replicated from the owner
-            wk = float(
-                robust.gnc_tls_weights(
-                    jnp.asarray([r[k]]), jnp.asarray(mu), barc
-                )[0]
-            )
-            w[k] = wk
-            if a != b:
-                src_ids.append(a)
-                src_f.append(int(m.src_frame[k]))
-                dst_ids.append(b)
-                dst_f.append(int(m.dst_frame[k]))
-                w_out.append(wk)
-                fixed_out.append(False)
+        # vectorized: all TLS weights in one call; apply to edges this robot
+        # owns (private, or shared with the lower-ID-owner rule)
+        w_all = np.asarray(
+            robust.gnc_tls_weights(jnp.asarray(r), jnp.asarray(mu), barc)
+        )
+        is_loop = np.asarray(self.edges.is_loop) > 0
+        a_ids = m.src_robot.astype(np.int64)
+        b_ids = m.dst_robot.astype(np.int64)
+        shared = a_ids != b_ids
+        owner_is_me = np.minimum(a_ids, b_ids) == self.id
+        mine = is_loop & (~shared | owner_is_me)
+        w[mine] = w_all[mine]
+        rep = mine & shared
+        src_ids = a_ids[rep].tolist()
+        src_f = m.src_frame[rep].tolist()
+        dst_ids = b_ids[rep].tolist()
+        dst_f = m.dst_frame[rep].tolist()
+        w_out = w_all[rep].tolist()
+        fixed_out = [False] * len(w_out)
         self.edges = dataclasses.replace(
             self.edges, weight=jnp.asarray(w, self.dtype)
         )
@@ -979,16 +984,17 @@ class PGOAgentNode:
         m = self.measurements
         w = np.asarray(self.edges.weight).copy()
         changed = False
-        index = {}
-        for k in range(len(m)):
-            index[
+        index = getattr(self, "_edge_index", None)
+        if index is None:
+            index = self._edge_index = {
                 (
                     int(m.src_robot[k]),
                     int(m.src_frame[k]),
                     int(m.dst_robot[k]),
                     int(m.dst_frame[k]),
-                )
-            ] = k
+                ): k
+                for k in range(len(m))
+            }
         for i in range(len(msg.weights)):
             key = (
                 int(msg.src_robot_ids[i]),
