@@ -323,7 +323,7 @@ class RBCDEngine:
         E = prob.edges.num_edges
         weights = jnp.asarray(self.problem.edges.weight, self.dtype)
         fixed = 1.0 - jnp.asarray(self.problem.edges.is_loop, self.dtype)
-        if self.config.robust_cost_type != RobustCostType.GNC_TLS:
+        if self.config.robust_cost_type == RobustCostType.L2:
             fixed = jnp.ones_like(fixed)
         e = self._edges(weights)
         return RBCDState(
@@ -480,24 +480,32 @@ class RBCDEngine:
         return self._finish_step(st, X_new, V_new, res, theta, mask)
 
     def _weight_update_impl(self, st: RBCDState):
-        """GNC-TLS weight round (reference UPDATE_WEIGHT,
-        ``PGOAgentROS.cpp:1211-1233``): residuals on the rounded trajectory,
-        TLS weights under current mu, optional convergence freezing, mu up."""
+        """Robust weight round (reference UPDATE_WEIGHT,
+        ``PGOAgentROS.cpp:1211-1233``): residuals on the rounded trajectory;
+        GNC-TLS weights under the scheduled mu, or plain IRLS weights for the
+        L1/Huber/TLS/GM robust costs (``mRobustCost.weight(residual)``,
+        reference ``PGOAgentROS.cpp:1050``)."""
         cfg = self.config
         e = self._edges(st.weights)
         T = rounding.round_solution(st.X)
         r = robust.measurement_residuals(T, e)
-        mu_use, barc_use = robust.gnc_round_params(
-            st.weight_update_count,
-            cfg,
-            st.mu,
-            residuals=r,
-            loop_mask=e.is_loop * e.mask,
-            dtype=self.dtype,
-        )
-        w_new, _ = robust.update_weights_gnc(
-            st.weights, st.fixed_mask, r, mu_use, barc_use, cfg.GNC_mu_step
-        )
+        if cfg.robust_cost_type == RobustCostType.GNC_TLS:
+            mu_use, barc_use = robust.gnc_round_params(
+                st.weight_update_count,
+                cfg,
+                st.mu,
+                residuals=r,
+                loop_mask=e.is_loop * e.mask,
+                dtype=self.dtype,
+            )
+            w_new, _ = robust.update_weights_gnc(
+                st.weights, st.fixed_mask, r, mu_use, barc_use, cfg.GNC_mu_step
+            )
+        else:
+            w_irls = robust.robust_weight(
+                cfg.robust_cost_type.value, r, cfg.GNC_barc
+            )
+            w_new = jnp.where(st.fixed_mask > 0, st.weights, w_irls)
         mu_new = st.mu * cfg.GNC_mu_step
         fixed = st.fixed_mask
         if cfg.weight_convergence_threshold > 0:
@@ -542,7 +550,9 @@ class RBCDEngine:
             state = self.initialize()
         max_iters = max_iters or cfg.max_iteration_number
         rng = np.random.default_rng(cfg.seed)
-        gnc = cfg.robust_cost_type == RobustCostType.GNC_TLS
+        # weight rounds run for every robust cost: graduated (GNC_TLS) or
+        # plain IRLS reweighting (L1/Huber/TLS/GM)
+        gnc = cfg.robust_cost_type != RobustCostType.L2
         inner = cfg.robust_opt_inner_iters_per_robot * prob.num_robots
         history: Dict[str, list] = {
             "iteration": [],
@@ -653,7 +663,7 @@ class RBCDEngine:
         """
         cfg = self.config
         prob = self.problem
-        gnc = cfg.robust_cost_type == RobustCostType.GNC_TLS
+        gnc = cfg.robust_cost_type != RobustCostType.L2  # any robust cost
         inner = cfg.robust_opt_inner_iters_per_robot * prob.num_robots
         tol = cfg.relative_change_tolerance
         key0 = jax.random.PRNGKey(cfg.seed)

@@ -130,3 +130,33 @@ def test_gnc_engine_outlier_precision_recall():
     assert accepted_inliers >= 0.8, accepted_inliers
     # the robust solution should be close to the clean-data optimum
     assert info["final_cost"] < 1e5
+
+
+@pytest.mark.parametrize("rtype", [RobustCostType.TLS, RobustCostType.GM,
+                                   RobustCostType.HUBER])
+def test_irls_robust_costs_reject_outliers(rtype):
+    """The non-GNC robust kernels (IRLS reweighting rounds) must also
+    suppress gross outliers (reference RobustCost family)."""
+    data = load_g2o_dataset("tinyGrid3D", num_robots=1)
+    data, is_outlier = inject_outliers(data, frac=0.2, seed=2)
+    prob = LiftedProblem.from_data(data, r=5)
+    cfg = AgentConfig(
+        num_robots=1,
+        local_initialization_method=InitMethod.ODOMETRY,
+        robust_cost_type=rtype,
+        GNC_use_probability=False,
+        GNC_barc=3.0,
+        robust_opt_num_weight_updates=3,
+        robust_opt_inner_iters_per_robot=5,
+        relative_change_tolerance=0.05,
+        RTR_gradnorm_tol=0.5,
+        max_iteration_number=40,
+    )
+    eng = RBCDEngine(prob, cfg)
+    st, info = eng.run()
+    w = np.asarray(st.weights)[: len(data.measurements)]
+    # outlier edges end up with (much) smaller weights than inliers
+    loops = np.asarray(prob.edges.is_loop)[: len(data.measurements)] > 0
+    inl = loops & ~is_outlier
+    if inl.sum() and is_outlier.sum():
+        assert w[is_outlier].mean() < 0.25 * max(w[inl].mean(), 1e-9)
