@@ -55,6 +55,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", help="output prefix for trajectory export")
     p.add_argument("--platform", choices=["cpu", "tpu"], default="tpu")
     p.add_argument("--cpu_devices", type=int, default=8)
+    p.add_argument(
+        "--checkpoint_dir",
+        help="directory for periodic solver-state checkpoints "
+        "(capability beyond the reference, which has no persistence)",
+    )
+    p.add_argument(
+        "--checkpoint_every",
+        type=int,
+        default=50,
+        help="checkpoint cadence in block updates (engine mode)",
+    )
+    p.add_argument(
+        "--resume",
+        help="checkpoint path to resume from, or 'latest' to pick the "
+        "newest step under --checkpoint_dir",
+    )
+    p.add_argument(
+        "--profile_dir",
+        help="capture a JAX/XLA device trace of the solve into this dir "
+        "(TensorBoard/Perfetto format)",
+    )
 
     # reference parameter surface (launch/PGOAgent.launch:9-50)
     p.add_argument("--num_robots", type=int, default=1)
@@ -322,22 +343,59 @@ def main(argv=None) -> int:
         )
         summary = {"mode": "spmd", "iterations": it + 1, "devices": sp.M}
     else:
+        from dpgo_ros_tpu.utils import checkpoint as ckpt
+        from dpgo_ros_tpu.utils.profiling import device_trace
+
         prob = LiftedProblem.from_data(
             data,
             r=cfg.relaxation_rank,
             dtype=jnp.float64 if cfg.dtype == "float64" else jnp.float32,
         )
         eng = RBCDEngine(prob, cfg)
-        st = eng.initialize()
-        if a.mode == "fused":
-            run = eng.make_fused_run(cfg.max_iteration_number)
-            st = run(st)
-            info = {
-                "iterations": int(st.iteration),
-                "final_cost": float(st.cost),
-            }
+        mgr = (
+            ckpt.CheckpointManager(a.checkpoint_dir, every=a.checkpoint_every)
+            if a.checkpoint_dir
+            else None
+        )
+        if a.resume:
+            rp = a.resume
+            if rp == "latest":
+                if mgr is None or mgr.latest() is None:
+                    print("error: --resume latest needs a --checkpoint_dir "
+                          "with checkpoints", file=sys.stderr)
+                    return 2
+                rp = mgr.latest()[1]
+            try:
+                st, ylift, meta = ckpt.load_state(rp)
+            except (FileNotFoundError, NotADirectoryError):
+                print(f"error: no checkpoint at {rp}", file=sys.stderr)
+                return 2
+            if ylift is not None:
+                eng.Ylift = jnp.asarray(ylift, eng.dtype)
+            print(f"resumed from {rp} (iteration {int(st.iteration)})",
+                  file=sys.stderr)
         else:
-            st, info = eng.run(st)
+            st = eng.initialize()
+        cb = (
+            # cadence on the *global* iteration counter so resumed runs
+            # continue the same checkpoint grid
+            (lambda it, s: mgr.maybe_save(int(s.iteration), s, eng.Ylift))
+            if mgr is not None
+            else None
+        )
+        with device_trace(a.profile_dir):
+            if a.mode == "fused":
+                run = eng.make_fused_run(cfg.max_iteration_number)
+                st = run(st)
+                info = {
+                    "iterations": int(st.iteration),
+                    "final_cost": float(st.cost),
+                }
+            else:
+                st, info = eng.run(st, callback=cb)
+        if mgr is not None:
+            mgr.save(int(st.iteration), st, eng.Ylift,
+                     meta={"final": True, "cost": float(st.cost)})
         T, st = eng.finalize(st)
         summary = {
             "mode": a.mode,
