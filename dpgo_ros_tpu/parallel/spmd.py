@@ -283,18 +283,25 @@ def build_spmd_step(
     M, n_max = sp.M, sp.n_max
     gnc = cfg.robust_cost_type == RobustCostType.GNC_TLS
 
-    # static per-device tensors enter via closure as sharded arrays
+    # Static per-device tensors, device_put as *global* sharded arrays and
+    # passed as jit arguments (NOT closed over: closing over an array that
+    # spans non-addressable devices is an error on a multi-host mesh — every
+    # process holds the same replicated numpy and contributes its shards).
+    row_sharding = NamedSharding(mesh, P(axis))
     consts = {
-        "src": jnp.asarray(sp.src),
-        "dst": jnp.asarray(sp.dst),
-        "R": jnp.asarray(sp.R),
-        "t": jnp.asarray(sp.t),
-        "kappa": jnp.asarray(sp.kappa),
-        "tau": jnp.asarray(sp.tau),
-        "mask": jnp.asarray(sp.mask),
-        "is_loop": jnp.asarray(sp.is_loop),
-        "pose_valid": jnp.asarray(sp.pose_valid),
-        "color": jnp.asarray(sp.color),
+        k: jax.device_put(v, row_sharding)
+        for k, v in dict(
+            src=sp.src,
+            dst=sp.dst,
+            R=sp.R,
+            t=sp.t,
+            kappa=sp.kappa,
+            tau=sp.tau,
+            mask=sp.mask,
+            is_loop=sp.is_loop,
+            pose_valid=sp.pose_valid,
+            color=sp.color,
+        ).items()
     }
 
     def shard_body(step_idx, do_weight_update, st, c):
@@ -480,43 +487,44 @@ def build_spmd_step(
         check_vma=False,
     )
 
-    @jax.jit
-    def step(step_idx, do_weight_update, st):
-        return smapped(step_idx, do_weight_update, st, consts)
+    jitted = jax.jit(smapped)
 
+    def step(step_idx, do_weight_update, st):
+        return jitted(step_idx, do_weight_update, st, consts)
+
+    # Initial state: built as replicated numpy on every process, device_put
+    # straight to the global sharding (multi-host safe — no intermediate
+    # single-device array).
     dtype = sp.X0.dtype
-    init = SpmdState(
-        X=jnp.asarray(sp.X0),
-        X_prev=jnp.asarray(sp.X0),
-        V=jnp.asarray(sp.X0),
-        theta=jnp.ones((M, 1), dtype),
-        iteration=jnp.zeros((M, 1), jnp.int32),
-        rel_change=jnp.full((M, 1), jnp.inf, dtype),
-        weights=jnp.asarray(sp.weight),
-        mu=jnp.full((M, 1), cfg.GNC_init_mu, dtype),
-        wuc=jnp.zeros((M, 1), jnp.int32),
+    init_np = SpmdState(
+        X=sp.X0,
+        X_prev=sp.X0,
+        V=sp.X0,
+        theta=np.ones((M, 1), dtype),
+        iteration=np.zeros((M, 1), np.int32),
+        rel_change=np.full((M, 1), np.inf, dtype),
+        weights=sp.weight,
+        mu=np.full((M, 1), cfg.GNC_init_mu, dtype),
+        wuc=np.zeros((M, 1), np.int32),
     )
-    with mesh:
-        init = jax.device_put(
-            init,
-            SpmdState(
-                X=NamedSharding(mesh, P(axis)),
-                X_prev=NamedSharding(mesh, P(axis)),
-                V=NamedSharding(mesh, P(axis)),
-                theta=NamedSharding(mesh, P(axis)),
-                iteration=NamedSharding(mesh, P(axis)),
-                rel_change=NamedSharding(mesh, P(axis)),
-                weights=NamedSharding(mesh, P(axis)),
-                mu=NamedSharding(mesh, P(axis)),
-                wuc=NamedSharding(mesh, P(axis)),
-            ),
-        )
+    init = jax.device_put(
+        init_np, jax.tree.map(lambda _: row_sharding, init_np)
+    )
     return init, step
 
 
 def gather_trajectory(sp: ShardedProblem, st: SpmdState, num_poses) -> np.ndarray:
-    """Reassemble the global lifted state (n, r, d+1) from shards."""
-    X = np.asarray(st.X)
+    """Reassemble the global lifted state (n, r, d+1) from shards.
+
+    On a multi-host mesh the shards live on other processes' devices —
+    all-gather them over DCN first (every process returns the full state).
+    """
+    if st.X.is_fully_addressable:
+        X = np.asarray(st.X)
+    else:
+        from jax.experimental import multihost_utils
+
+        X = np.asarray(multihost_utils.process_allgather(st.X, tiled=True))
     parts = []
     for k, nk in enumerate(num_poses):
         parts.append(X[k, : int(nk)])
