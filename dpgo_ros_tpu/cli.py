@@ -294,7 +294,7 @@ def main(argv=None) -> int:
             gather_trajectory,
             group_robots,
         )
-        from dpgo_ros_tpu.ops import rounding
+        from dpgo_ros_tpu.ops import quadratic, rounding
         from dpgo_ros_tpu.utils.config import RobustCostType
 
         # fleets larger than the mesh: group robots into super-blocks
@@ -341,7 +341,15 @@ def main(argv=None) -> int:
                 rounding.round_solution(jnp.asarray(Xg))
             )
         )
-        summary = {"mode": "spmd", "iterations": it + 1, "devices": sp.M}
+        f_final = float(
+            quadratic.cost(jnp.asarray(Xg), eng._edges(st0.weights))
+        )
+        summary = {
+            "mode": "spmd",
+            "iterations": it + 1,
+            "devices": sp.M,
+            "final_cost": f_final,
+        }
     else:
         from dpgo_ros_tpu.utils import checkpoint as ckpt
         from dpgo_ros_tpu.utils.profiling import device_trace

@@ -212,6 +212,12 @@ def precond_blocks(e: EdgeSet, n: int, damping: float = 1e-2) -> jnp.ndarray:
     """
     d = e.d
     kw, tw = e.effective_weights()
+    # weights may live at a higher precision than the edge tensors (e.g.
+    # fp64 solver state over fp32 data); the damped-Jacobi blocks are a
+    # preconditioner — compute them at the edge dtype (scatter into a mixed-
+    # dtype buffer is a hard error in future JAX)
+    kw = kw.astype(e.R.dtype)
+    tw = tw.astype(e.R.dtype)
     I = jnp.eye(d, dtype=e.R.dtype)
     ttT = outer(e.t, e.t)
     Dii = jnp.zeros((e.num_edges, d + 1, d + 1), e.R.dtype)
