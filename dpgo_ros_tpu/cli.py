@@ -137,7 +137,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_distributed_init_steps", type=int, default=30)
     p.add_argument("--inter_update_sleep_time", type=float, default=0.0)
     p.add_argument("--weight_convergence_threshold", type=float, default=-1.0)
-    p.add_argument("--max_delayed_iterations", type=int, default=0)
+    p.add_argument("--max_delayed_iterations", type=int, default=3)
     p.add_argument("--timeout_threshold", type=float, default=15.0)
     p.add_argument("--verbose", type=_bool, default=False)
     p.add_argument("--dtype", choices=["float32", "float64"], default="float32")
@@ -285,6 +285,9 @@ def main(argv=None) -> int:
             "iterations": res["iterations"],
             "messages_sent": res["messages_sent"],
         }
+        gs = ctl.gnc_statistics(res)
+        if gs is not None:
+            summary["gnc_stats"] = gs
     elif a.mode == "spmd":
         from jax.sharding import Mesh
 
@@ -292,6 +295,7 @@ def main(argv=None) -> int:
             ShardedProblem,
             build_spmd_step,
             gather_trajectory,
+            gather_weights,
             group_robots,
         )
         from dpgo_ros_tpu.ops import quadratic, rounding
@@ -341,8 +345,13 @@ def main(argv=None) -> int:
                 rounding.round_solution(jnp.asarray(Xg))
             )
         )
+        # final cost under the FINAL robust weights (rejected outliers stay
+        # rejected in the reported objective)
+        w_final = jnp.asarray(
+            gather_weights(sp, st, prob.edges.num_edges), jnp.float32
+        )
         f_final = float(
-            quadratic.cost(jnp.asarray(Xg), eng._edges(st0.weights))
+            quadratic.cost(jnp.asarray(Xg), eng._edges(w_final))
         )
         summary = {
             "mode": "spmd",
@@ -350,6 +359,19 @@ def main(argv=None) -> int:
             "devices": sp.M,
             "final_cost": f_final,
         }
+        if gnc:
+            from dpgo_ros_tpu.models import robust as robust_mod
+
+            acc, rej, und = robust_mod.classify_weights(
+                w_final, prob.edges.is_loop, prob.edges.mask
+            )
+            total = int(acc) + int(rej) + int(und)
+            summary["gnc_stats"] = {
+                "accepted": int(acc),
+                "rejected": int(rej),
+                "undecided": int(und),
+                "convergence_ratio": (int(acc) + int(rej)) / max(total, 1),
+            }
     else:
         from dpgo_ros_tpu.utils import checkpoint as ckpt
         from dpgo_ros_tpu.utils.profiling import device_trace

@@ -1050,6 +1050,7 @@ class PGOAgentNode:
                 for k in range(len(m))
             }
             self.final_weights = w
+            self.final_measurements = m  # survives reset() for fleet stats
             # robustOptMinConvergenceRatio gate (reference
             # ``PGOAgentROSNode.cpp:212-221``): warn when too few loop
             # closures were decided by the GNC rounds

@@ -15,7 +15,7 @@ import numpy as np
 
 from dpgo_ros_tpu.parallel.agent_node import DatasetServer, PGOAgentNode
 from dpgo_ros_tpu.parallel.comm import PerfectTransport, Transport
-from dpgo_ros_tpu.types import PoseGraphData
+from dpgo_ros_tpu.types import EdgeType, PoseGraphData
 from dpgo_ros_tpu.utils.config import AgentConfig
 
 
@@ -98,6 +98,40 @@ class DistributedController:
         §5.4; ``PGOAgentROS.cpp:354-361, 1072-1075``)."""
         for a in self.agents:
             a.terminated = False
+
+    def gnc_statistics(self, result: Dict) -> Optional[Dict]:
+        """Fleet-wide GNC accept/reject/undecided statistics over *unique*
+        loop closures (reference ``PoseGraph::statistics()``,
+        ``src/PGOAgentROS.cpp:1058-1067``). Shared edges are counted once,
+        using the owner's (lower-ID robot's) final weight — the same
+        ownership rule the weight-replication protocol uses."""
+        seen = {}
+        for a in self.agents:
+            w = result["weights"].get(a.id)
+            m = getattr(a, "final_measurements", None) or a.measurements
+            if w is None or m is None:
+                continue
+            loops = np.asarray(m.edge_type != EdgeType.ODOMETRY)
+            for k in np.where(loops)[0]:
+                key = (
+                    int(m.src_robot[k]), int(m.src_frame[k]),
+                    int(m.dst_robot[k]), int(m.dst_frame[k]),
+                )
+                owner = min(key[0], key[2])
+                if key not in seen or owner == a.id:
+                    seen[key] = float(w[k])
+        if not seen:
+            return None
+        vals = np.asarray(list(seen.values()))
+        acc = int((vals >= 1 - 1e-6).sum())
+        rej = int((vals <= 1e-6).sum())
+        und = int(len(vals) - acc - rej)
+        return {
+            "accepted": acc,
+            "rejected": rej,
+            "undecided": und,
+            "convergence_ratio": (acc + rej) / max(len(vals), 1),
+        }
 
     def global_trajectory(self, result: Dict) -> Optional[np.ndarray]:
         """Concatenate per-robot world trajectories (robots 0..R-1)."""

@@ -549,7 +549,10 @@ class RBCDEngine:
         if state is None:
             state = self.initialize()
         max_iters = max_iters or cfg.max_iteration_number
-        rng = np.random.default_rng(cfg.seed)
+        # Uniform rule: same counter-based PRNG as make_fused_run (fold the
+        # seed key with the global iteration index) so host-driven and fused
+        # runs take identical schedules for all three update rules
+        key0 = jax.random.PRNGKey(cfg.seed)
         # weight rounds run for every robust cost: graduated (GNC_TLS) or
         # plain IRLS reweighting (L1/Huber/TLS/GM)
         gnc = cfg.robust_cost_type != RobustCostType.L2
@@ -564,8 +567,10 @@ class RBCDEngine:
         t_start = time.time()
         it = 0
         while it < max_iters:
-            # GNC outer round?
-            if gnc and it > 0 and it % inner == 0 and (
+            # GNC outer round? (global iteration counter — matches the fused
+            # path and stays on the same cadence across checkpoint resumes)
+            gi = int(state.iteration)
+            if gnc and gi > 0 and gi % inner == 0 and (
                 state.weight_update_count < cfg.robust_opt_num_weight_updates
             ):
                 state = self._weight_upd(state)
@@ -590,13 +595,20 @@ class RBCDEngine:
                     )
             t0 = time.time()
             if cfg.update_rule == UpdateRule.PARALLEL:
-                c = it % self.num_colors
+                c = int(state.iteration) % self.num_colors
                 state, rc = self._step_par(state, jnp.asarray(c))
             else:
                 if cfg.update_rule == UpdateRule.ROUND_ROBIN:
-                    k = it % prob.num_robots
+                    k = int(state.iteration) % prob.num_robots
                 else:
-                    k = int(rng.integers(prob.num_robots))
+                    k = int(
+                        jax.random.randint(
+                            jax.random.fold_in(key0, int(state.iteration)),
+                            (),
+                            0,
+                            prob.num_robots,
+                        )
+                    )
                 state, rc = self._step_seq(state, jnp.asarray(k))
             state.cost.block_until_ready()
             dt = time.time() - t0

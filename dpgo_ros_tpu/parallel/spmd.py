@@ -124,6 +124,10 @@ class ShardedProblem:
     weight: np.ndarray  # (M, E_max)
     mask: np.ndarray  # (M, E_max)
     is_loop: np.ndarray  # (M, E_max)
+    gidx: np.ndarray  # (M, E_max) int32 global edge id (-1 on padding) —
+    # lets callers scatter per-device GNC weights back onto the global edge
+    # list (shared edges are replicated; every copy computes identical
+    # weights from the identical gathered state)
     pose_valid: np.ndarray  # (M, n_max) 1.0 for real poses
     color: np.ndarray  # (M,) color class of each robot
     num_colors: int
@@ -197,6 +201,7 @@ class ShardedProblem:
         S = dict(
             src=np.zeros((M, E_max), np.int32),
             dst=np.zeros((M, E_max), np.int32),
+            gidx=np.full((M, E_max), -1, np.int32),
             R=np.zeros((M, E_max, problem.d, problem.d), dtype),
             t=np.zeros((M, E_max, problem.d), dtype),
             kappa=np.zeros((M, E_max), dtype),
@@ -209,6 +214,8 @@ class ShardedProblem:
             idxs = per_dev[m] if m < nR else []
             S["src"][m] = padded(gpad_of[src].astype(np.int32), idxs)
             S["dst"][m] = padded(gpad_of[dst].astype(np.int32), idxs)
+            if idxs:
+                S["gidx"][m][: len(idxs)] = np.asarray(idxs, np.int32)
             S["R"][m] = padded(R_.astype(dtype), idxs)
             S["t"][m] = padded(t_.astype(dtype), idxs)
             S["kappa"][m] = padded(kap.astype(dtype), idxs)
@@ -511,6 +518,27 @@ def build_spmd_step(
         init_np, jax.tree.map(lambda _: row_sharding, init_np)
     )
     return init, step
+
+
+def gather_weights(
+    sp: ShardedProblem, st: SpmdState, num_global_edges: int
+) -> np.ndarray:
+    """Reassemble the global (E,) robust-weight vector from per-device edge
+    copies via the ``gidx`` map (replicated shared-edge copies hold identical
+    weights — the GNC round computes them from the identical gathered state,
+    the RelativeMeasurementWeights-replication analogue)."""
+    if st.weights.is_fully_addressable:
+        W = np.asarray(st.weights)
+    else:
+        from jax.experimental import multihost_utils
+
+        W = np.asarray(
+            multihost_utils.process_allgather(st.weights, tiled=True)
+        )
+    out = np.ones((num_global_edges,), W.dtype)
+    sel = sp.gidx >= 0
+    out[sp.gidx[sel]] = W[sel]
+    return out
 
 
 def gather_trajectory(sp: ShardedProblem, st: SpmdState, num_poses) -> np.ndarray:

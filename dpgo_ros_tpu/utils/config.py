@@ -155,7 +155,9 @@ class AgentConfig:
     max_distributed_init_steps: int = 30
     inter_update_sleep_time: float = 0.0
     weight_convergence_threshold: float = -1.0
-    max_delayed_iterations: int = 0
+    # reference default 3 (``PGOAgentROS.h:74-86``): a robot may execute its
+    # scheduled update with neighbor separators up to 3 iterations stale
+    max_delayed_iterations: int = 3
     timeout_threshold: float = 15.0
 
     # logging

@@ -36,7 +36,8 @@ def test_defaults_match_reference_launch():
     assert cfg.relative_change_tolerance == 0.1
     assert cfg.max_distributed_init_steps == 30
     assert cfg.timeout_threshold == 15.0
-    assert cfg.max_delayed_iterations == 0
+    # reference default 3 (``PGOAgentROS.h:74-86``)
+    assert cfg.max_delayed_iterations == 3
     assert cfg.weight_convergence_threshold == -1.0
     assert cfg.synchronize_measurements is True
 

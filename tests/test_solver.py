@@ -120,16 +120,18 @@ def test_fused_runner_matches_host_driven():
     """The single-XLA-program fused runner (bench hot path) must reach the
     same cost region as the host-driven loop, and stop on the same
     termination rule."""
-    eng = _engine("tinyGrid3D", 2, max_iters=60,
-                  update_rule=UpdateRule.ROUND_ROBIN)
-    st0 = eng.initialize()
-    st_host, info = eng.run(st0)
-    run = eng.make_fused_run(60)
-    st_fused = run(st0)
-    assert abs(float(st_fused.cost) - info["final_cost"]) < 1e-6 * (
-        1 + info["final_cost"]
-    )
-    assert int(st_fused.iteration) == info["iterations"]
+    for rule in (UpdateRule.ROUND_ROBIN, UpdateRule.UNIFORM):
+        eng = _engine("tinyGrid3D", 2, max_iters=60, update_rule=rule)
+        st0 = eng.initialize()
+        st_host, info = eng.run(st0)
+        run = eng.make_fused_run(60)
+        st_fused = run(st0)
+        # Uniform uses the same counter-based on-device PRNG in both paths,
+        # so the schedules (and therefore results) agree exactly
+        assert abs(float(st_fused.cost) - info["final_cost"]) < 1e-6 * (
+            1 + info["final_cost"]
+        ), rule
+        assert int(st_fused.iteration) == info["iterations"], rule
 
 
 def test_ate_distributed_vs_centralized():
