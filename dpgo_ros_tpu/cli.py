@@ -47,10 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--csv", nargs="*", help="per-robot measurements.csv paths")
     p.add_argument(
         "--mode",
-        choices=["engine", "fused", "fleet", "spmd"],
+        choices=["engine", "fused", "fleet", "spmd", "async"],
         default="engine",
         help="engine: host-driven solver; fused: single XLA program; "
-        "fleet: full distributed protocol simulation; spmd: device mesh",
+        "fleet: full distributed protocol simulation; spmd: device mesh; "
+        "async: bounded-staleness ASAPP engine (auto-selected when "
+        "--asynchronous is set and mode is 'engine')",
     )
     p.add_argument("--output", help="output prefix for trajectory export")
     p.add_argument("--platform", choices=["cpu", "tpu"], default="tpu")
@@ -273,7 +275,36 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     summary = {}
-    if a.mode == "fleet":
+    if a.mode == "async" or (a.asynchronous and a.mode == "engine"):
+        # the reference's asynchronous (ASAPP) mode: RGD local loops under
+        # bounded staleness, no UPDATE tokens
+        # (``runOnceAsynchronous``, ``src/PGOAgentROS.cpp:119-127``;
+        # ``launch/asapp_demo.launch``)
+        from dpgo_ros_tpu.ops import quadratic, rounding
+        from dpgo_ros_tpu.parallel.asapp import ASAPPEngine
+
+        prob = LiftedProblem.from_data(
+            data, r=cfg.relaxation_rank, dtype=jnp.float32
+        )
+        eng = RBCDEngine(prob, cfg)  # shared initialization pipeline
+        st0 = eng.initialize()
+        aeng = ASAPPEngine(prob, cfg)
+        st, info = aeng.run(
+            st0.X,
+            num_ticks=cfg.max_iteration_number,
+            tol=cfg.relative_change_tolerance,
+        )
+        T = np.asarray(
+            rounding.anchor_to_first_pose(rounding.round_solution(st.X))
+        )
+        summary = {
+            "mode": "async",
+            "ticks": info["ticks"],
+            "steps_per_tick": aeng.steps_per_tick,
+            "converged": info["converged"],
+            "final_cost": float(quadratic.cost(st.X, prob.edges)),
+        }
+    elif a.mode == "fleet":
         from dpgo_ros_tpu.parallel.controller import DistributedController
 
         ctl = DistributedController(data, cfg)

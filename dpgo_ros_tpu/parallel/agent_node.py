@@ -253,7 +253,12 @@ class PGOAgentNode:
         # periodic status heartbeat (reference ≥1/3 Hz, :615-620, 1383)
         if not self.terminated and self._tick % 3 == 0:
             self._publish_status()
-        if self._opt_requested:
+        if self.config.asynchronous:
+            # reference ``runOnceAsynchronous`` (:119-127): no UPDATE tokens —
+            # the local optimization loop runs continuously
+            if not self.terminated:
+                self._run_once_asynchronous()
+        elif self._opt_requested:
             self._run_once_synchronous()
         if self._publish_poses_requested:
             self._publish_public_poses()
@@ -810,6 +815,10 @@ class PGOAgentNode:
     def _on_status(self, status: AgentStatus) -> None:
         self.team_status[status.robot_id] = status
         self.last_status_tick[status.robot_id] = self._tick
+        if self.config.asynchronous and status.robot_id == self.cluster_id:
+            # async mode sends no periodic commands — the leader's status
+            # heartbeat is the command-channel liveness signal
+            self.last_command_tick = self._tick
         if (
             status.robot_id == self._last_scheduled_robot
             and status.iteration_number >= self._scheduled_iteration
@@ -900,6 +909,44 @@ class PGOAgentNode:
             self.relative_change < self.config.relative_change_tolerance
         )
         self._opt_requested = False
+        self._publish_poses_requested = True
+        self._publish_status()
+        self.logger.log_iteration(
+            num_active_robots=len(self.active_robots),
+            iteration=self.iteration,
+            num_poses=self.n_local,
+            bytes_received=self.bytes_received,
+            iter_time_sec=_time.time() - t0,
+            rel_change=self.relative_change,
+        )
+
+    def _run_once_asynchronous(self) -> None:
+        """Reference ``runOnceAsynchronous`` (``PGOAgentROS.cpp:119-127``;
+        solver pick RGD at ``PGOAgentROSNode.cpp:87-93``): the core's local
+        RGD loop spins at ``asynchronous_rate`` while the ~100 Hz wrapper
+        flushes poses/status whenever the core requests
+        (``mPublishAsynchronousRequested``). Deterministic analogue: each
+        controller tick executes one local solve (``rgd_solve`` — the
+        resolved async solver) against whatever neighbor separators have
+        arrived (naturally stale, bounded by the transport), then flushes
+        public poses and status. No UPDATE tokens, no staleness gate."""
+        if self.state != AgentState.INITIALIZED:
+            return
+        import time as _time
+
+        t0 = _time.time()
+        emask = self._edge_mask()
+        X_new, res = self._solve_fn(self.X, self.edges.weight, emask)
+        diff = np.asarray(X_new - self.X)[: self.n_local]
+        self.relative_change = float(np.sqrt(np.sum(diff * diff)))
+        self.X_prev = self.X
+        self.X = X_new
+        self.V = X_new
+        self.iteration += 1
+        self.solved_iterations += 1
+        self.ready_to_terminate = (
+            self.relative_change < self.config.relative_change_tolerance
+        )
         self._publish_poses_requested = True
         self._publish_status()
         self.logger.log_iteration(
@@ -1118,6 +1165,11 @@ class PGOAgentNode:
                 self._broadcast(CommandType.INITIALIZE)
                 self._initialize_round()
                 return
+        if cfg.asynchronous:
+            # no UPDATE tokens in async mode (``publishUpdateCommand`` is a
+            # no-op, reference :482-486) — only weight rounds + termination
+            self._leader_duties_async()
+            return
         if self.iteration == 0 and not self._scheduled_any():
             self._schedule_next_update()
             return
@@ -1200,6 +1252,55 @@ class PGOAgentNode:
             self._terminate()
             return
         self._schedule_next_update()
+
+    def _leader_duties_async(self) -> None:
+        """Async-mode leader: GNC weight rounds on the iteration cadence and
+        relative-change termination via status gossip — the reference's
+        ``shouldTerminate`` / ``shouldUpdateMeasurementWeights`` checks,
+        which remain leader duties even without UPDATE tokens."""
+        cfg = self.config
+        # keep re-broadcasting INITIALIZE while teammates are still aligning
+        # (the async path has no iteration-0 barrier — the leader optimizes
+        # from tick one, reference :119-127, while stragglers join live)
+        uninit = [
+            k
+            for k in self.active_robots
+            if k != self.id
+            and (
+                self.team_status.get(k) is None
+                or self.team_status[k].state != AgentState.INITIALIZED
+            )
+        ]
+        if uninit:
+            self._init_barrier_steps = getattr(self, "_init_barrier_steps", 0) + 1
+            if self._init_barrier_steps < cfg.max_distributed_init_steps:
+                self._broadcast(CommandType.INITIALIZE)
+                self._initialize_round()
+                return
+        gnc = cfg.robust_cost_type == RobustCostType.GNC_TLS
+        inner = cfg.robust_opt_inner_iters_per_robot * len(self.active_robots)
+        if gnc and self.iteration > 0 and (
+            self.iteration % inner == 0
+        ) and self.weight_update_count < cfg.robust_opt_num_weight_updates:
+            self._broadcast(CommandType.UPDATE_WEIGHT)
+            self._update_weights_round()
+            return
+        all_ready = all(
+            (
+                self.get_status()
+                if k == self.id
+                else self.team_status.get(k, AgentStatus(robot_id=k))
+            ).ready_to_terminate
+            for k in self.active_robots
+        )
+        gnc_done = (not gnc) or (
+            self.weight_update_count >= cfg.robust_opt_num_weight_updates
+        )
+        if (
+            all_ready and gnc_done
+        ) or self.iteration >= cfg.max_iteration_number:
+            self._broadcast(CommandType.TERMINATE)
+            self._terminate()
 
     def _scheduled_any(self) -> bool:
         return self._last_scheduled_robot is not None

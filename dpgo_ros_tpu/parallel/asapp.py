@@ -14,8 +14,20 @@ of the last K+1 global states; at tick t robot k sees its own block at t and
 every neighbor at t − δ_k(t), δ_k(t) ~ U{0..K} from a seeded PRNG (δ ≡ 0
 reproduces the synchronous parallel limit; ``max_delayed_iterations`` is the
 reference's staleness gate, ``PGOAgentROS.h:62-63``). Every tick updates ALL
-robots simultaneously — one jitted ``lax.scan``, reproducible, and exactly
-the claim the ASAPP paper makes (parallel updates under delay).
+robots simultaneously — one jitted ``lax.while_loop``, reproducible, and
+exactly the claim the ASAPP paper makes (parallel updates under delay).
+
+Tick semantics: the reference spins the local RGD loop at
+``asynchronous_rate`` Hz while poses are exchanged by the ~100 Hz ROS spin —
+i.e. ≈ rate/100 local gradient steps happen per communication round. Here one
+*tick* is one communication round and executes ``steps_per_tick =
+max(1, round(asynchronous_rate / 100))`` local RGD steps per robot against
+frozen (stale) neighbor separators.
+
+Termination matches the synchronous engine (reference ``readyToTerminate``
+gossip): per-robot block-Frobenius movement per tick below
+``relative_change_tolerance`` for every robot — evaluated on-device inside
+the fused while_loop, zero host round-trips.
 """
 
 from __future__ import annotations
@@ -38,6 +50,7 @@ class ASAPPState(NamedTuple):
     hist: jnp.ndarray  # (K+1, n, r, d+1) ring buffer of past states
     tick: jnp.ndarray  # i32
     key: jnp.ndarray
+    rel_change: jnp.ndarray  # (R,) per-robot block-Frobenius movement/tick
 
 
 class ASAPPEngine:
@@ -55,18 +68,35 @@ class ASAPPEngine:
             stepsize=self.config.RGD_stepsize,
             use_preconditioner=self.config.RGD_use_preconditioner,
         )
+        # local-loop rate → gradient steps per communication tick
+        self.steps_per_tick = max(
+            1, int(round(self.config.asynchronous_rate / 100.0))
+        )
         masks = [
             problem.block_mask(k, self.dtype)
             for k in range(problem.num_robots)
         ]
         self._masks = jnp.stack(masks, axis=0)  # (R, n, 1, 1)
+        # robust weights are FIXED during an async run (no UPDATE_WEIGHT
+        # rounds in the reference async mode) → the block-Jacobi inverse is
+        # computed once, not per tick
+        e = problem.edges
+        self._Pinv = quadratic.precond_inverse(
+            quadratic.precond_blocks(e, problem.n)
+        )
         self._tick = jax.jit(self._tick_impl)
 
     def init_state(self, X0: jnp.ndarray, key=None) -> ASAPPState:
         key = key if key is not None else jax.random.PRNGKey(self.config.seed)
         hist = jnp.broadcast_to(X0, (self.K + 1,) + X0.shape)
         return ASAPPState(
-            X=X0, hist=hist, tick=jnp.asarray(0, jnp.int32), key=key
+            X=X0,
+            hist=hist,
+            tick=jnp.asarray(0, jnp.int32),
+            key=key,
+            rel_change=jnp.full(
+                (self.problem.num_robots,), jnp.inf, self.dtype
+            ),
         )
 
     def _tick_impl(self, st: ASAPPState) -> ASAPPState:
@@ -75,42 +105,88 @@ class ASAPPEngine:
         key, sub = jax.random.split(st.key)
         delays = jax.random.randint(sub, (R,), 0, self.K + 1)
         e = prob.edges
-        P = quadratic.precond_inverse(quadratic.precond_blocks(e, prob.n))
+        P = self._Pinv
 
         def one_robot(mask, delay):
-            # robot's view: own block fresh, neighbors delayed
+            # robot's view: own block fresh, neighbors delayed; the local
+            # loop runs steps_per_tick gradient steps before the next
+            # separator exchange (asynchronous_rate semantics)
             stale = st.hist[delay % (self.K + 1)]
             Z = jnp.where(mask > 0, st.X, stale)
-            Z2 = rgd_step(Z, e, mask, P, self.rgd)
-            return Z2
+
+            def body(_, Zc):
+                return rgd_step(Zc, e, mask, P, self.rgd)
+
+            return jax.lax.fori_loop(0, self.steps_per_tick, body, Z)
 
         Z_all = jax.vmap(one_robot)(self._masks, delays)
-        X_new = jnp.sum(Z_all * self._masks, axis=0) + st.X * (
-            1.0 - jnp.sum(self._masks, axis=0)
+        own = jnp.sum(self._masks, axis=0)  # 1.0 on every owned pose
+        X_new = jnp.sum(Z_all * self._masks, axis=0) + st.X * (1.0 - own)
+        # per-robot movement this tick (termination telemetry — the Status
+        # relative_change analogue)
+        per_pose2 = jnp.sum((X_new - st.X) ** 2, axis=(-2, -1))  # (n,)
+        moved = jnp.sqrt(
+            jnp.sum(
+                self._masks[:, :, 0, 0] * per_pose2[None, :], axis=1
+            )
         )
         # ring buffer: slot (tick mod K+1) ← current state
         hist = st.hist.at[st.tick % (self.K + 1)].set(st.X)
-        return ASAPPState(X=X_new, hist=hist, tick=st.tick + 1, key=key)
+        return ASAPPState(
+            X=X_new, hist=hist, tick=st.tick + 1, key=key, rel_change=moved
+        )
+
+    def make_fused_run(self, tol: float = 0.0):
+        """Jitted runner ``run(state, until_tick)``: async ticks as one XLA
+        program — `lax.while_loop` with on-device relative-change
+        termination (tol 0 disables early exit → exactly ``until_tick``).
+        ``until_tick`` is a traced argument, so chunked drivers reuse one
+        compilation."""
+
+        @jax.jit
+        def run(st: ASAPPState, until_tick) -> ASAPPState:
+            def cond(s: ASAPPState):
+                keep = s.tick < until_tick
+                if tol > 0:
+                    keep = keep & ~jnp.all(s.rel_change < tol)
+                return keep
+
+            return jax.lax.while_loop(cond, self._tick_impl, st)
+
+        return run
 
     def run(
-        self, X0: jnp.ndarray, num_ticks: int, chunk: int = 50
+        self,
+        X0: jnp.ndarray,
+        num_ticks: int,
+        chunk: int = 200,
+        tol: float = 0.0,
     ) -> Tuple[ASAPPState, dict]:
-        """Run ``num_ticks`` asynchronous ticks (chunked jitted scans)."""
+        """Run up to ``num_ticks`` asynchronous ticks (chunked fused
+        while_loops — each chunk is one dispatch) with optional
+        relative-change termination at ``tol``."""
         st = self.init_state(X0)
         e = self.problem.edges
         costs = [float(quadratic.cost(st.X, e))]
 
-        @jax.jit
-        def run_chunk(s):
-            def body(s, _):
-                return self._tick_impl(s), ()
-
-            s2, _ = jax.lax.scan(body, s, None, length=chunk)
-            return s2
-
         done = 0
+        runner = self.make_fused_run(tol)
         while done < num_ticks:
-            st = run_chunk(st)
-            done += chunk
+            until = min(done + chunk, num_ticks)
+            st = runner(st, jnp.asarray(until, jnp.int32))
+            t = int(st.tick)
             costs.append(float(quadratic.cost(st.X, e)))
-        return st, {"costs": costs, "ticks": done}
+            converged = tol > 0 and bool(
+                np.all(np.asarray(st.rel_change) < tol)
+            )
+            if converged:
+                done = t
+                break
+            done = t
+        return st, {
+            "costs": costs,
+            "ticks": done,
+            "converged": tol > 0
+            and bool(np.all(np.asarray(st.rel_change) < tol)),
+            "rel_change": np.asarray(st.rel_change).tolist(),
+        }
