@@ -503,6 +503,11 @@ class PGOAgentNode:
                 self.dtype,
             ),
         )
+        # dynamic fixed-weight mask (reference ``fixedWeight``): odometry and
+        # known-inlier edges start fixed; GNC freezing
+        # (weight_convergence_threshold) and replicated ``fixed`` flags from
+        # owners grow it during the solve
+        self._fixed_np = ~np.asarray(is_loop, bool)
         ntot = self.n_local + len(slots)
         mask = np.zeros((ntot, 1, 1))
         mask[: self.n_local] = 1.0
@@ -979,7 +984,8 @@ class PGOAgentNode:
         )
         mu, barc = float(mu_j), float(barc_j)
         # vectorized: all TLS weights in one call; apply to edges this robot
-        # owns (private, or shared with the lower-ID-owner rule)
+        # owns (private, or shared with the lower-ID-owner rule), skipping
+        # frozen weights (``fixedWeight``, reference ``PGOAgentROS.cpp:1049``)
         w_all = np.asarray(
             robust.gnc_tls_weights(jnp.asarray(r), jnp.asarray(mu), barc)
         )
@@ -988,20 +994,38 @@ class PGOAgentNode:
         b_ids = m.dst_robot.astype(np.int64)
         shared = a_ids != b_ids
         owner_is_me = np.minimum(a_ids, b_ids) == self.id
-        mine = is_loop & (~shared | owner_is_me)
+        mine = is_loop & (~shared | owner_is_me) & ~self._fixed_np
         w[mine] = w_all[mine]
-        rep = mine & shared
+        # weight-convergence freezing (reference
+        # ``weightConvergenceThreshold``, ``PGOAgentROS.h:62-63``): weights
+        # that have binarized are rounded and frozen — later rounds (and the
+        # TERMINATE undecided-resolution) can no longer flip them
+        thr = self.config.weight_convergence_threshold
+        if thr > 0:
+            conv = mine & (np.abs(w - np.round(w)) < thr)
+            w[conv] = np.round(w[conv])
+            self._fixed_np |= conv
+        # replicate owned shared-edge weights WITH their fixed flags
+        # (reference ``publishMeasurementWeights`` :720-754 sends
+        # ``m.fixedWeight`` alongside each weight)
+        rep = is_loop & shared & owner_is_me
         src_ids = a_ids[rep].tolist()
         src_f = m.src_frame[rep].tolist()
         dst_ids = b_ids[rep].tolist()
         dst_f = m.dst_frame[rep].tolist()
-        w_out = w_all[rep].tolist()
-        fixed_out = [False] * len(w_out)
+        w_out = w[rep].tolist()
+        fixed_out = self._fixed_np[rep].tolist()
         self.edges = dataclasses.replace(
             self.edges, weight=jnp.asarray(w, self.dtype)
         )
         self.mu = mu * self.config.GNC_mu_step
         self.weight_update_count += 1
+        # robustOptNumResets (reference ``PGOAgentROSNode.cpp:212-221``):
+        # after early weight updates, re-initialize the local block in the
+        # current global frame so the next rounds descend from a clean
+        # iterate under the new weights
+        if self.weight_update_count <= self.config.robust_opt_num_resets:
+            self._reinitialize_block()
         if src_ids:
             self.transport.publish(
                 self.id,
@@ -1042,6 +1066,7 @@ class PGOAgentNode:
                 ): k
                 for k in range(len(m))
             }
+        fixed_in = getattr(msg, "fixed", None)
         for i in range(len(msg.weights)):
             key = (
                 int(msg.src_robot_ids[i]),
@@ -1049,15 +1074,59 @@ class PGOAgentNode:
                 int(msg.dst_robot_ids[i]),
                 int(msg.dst_pose_ids[i]),
             )
-            if key in index:
-                w[index[key]] = float(msg.weights[i])
-                changed = True
+            if key not in index:
+                continue
+            # only the lower-ID endpoint owns a shared edge's weight
+            # (reference ``measurementWeightsCallback`` :1315-1353 applies
+            # only when otherID < getID())
+            if msg.robot_id != min(key[0], key[2]) or msg.robot_id >= self.id:
+                continue
+            k = index[key]
+            w[k] = float(msg.weights[i])
+            if fixed_in is not None and bool(fixed_in[i]):
+                # replicated freeze (reference fixed_weights[])
+                if hasattr(self, "_fixed_np"):
+                    self._fixed_np[k] = True
+            changed = True
         if changed:
             # invalidate cached quadratic data (clearDataMatrices analogue —
             # our operators are matrix-free, so only weights change)
             self.edges = dataclasses.replace(
                 self.edges, weight=jnp.asarray(w, self.dtype)
             )
+
+    def _reinitialize_block(self) -> None:
+        """robustOptNumResets re-initialization: rebuild this robot's block
+        from its local initialization, re-anchored so the first pose keeps
+        its current world placement (the global frame — and the neighbors'
+        view of it — survives the reset)."""
+        if self.X is None or self.Ylift is None:
+            return
+        T_local = self._local_init_trajectory()
+        Tw = self.trajectory_world()
+        if Tw is None or len(T_local) != self.n_local:
+            return
+        # G such that G T_local[0] = T_world[0]
+        G = self._se(
+            jnp.asarray(Tw[0], self.dtype),
+            lie.se_inverse(jnp.asarray(T_local[0], self.dtype)),
+        )
+        T_world = np.asarray(
+            lie.se_compose(
+                jnp.broadcast_to(
+                    jnp.asarray(G, self.dtype), (self.n_local, 3, 4)
+                ),
+                jnp.asarray(T_local, self.dtype),
+            )
+        )
+        Y = jnp.asarray(self.Ylift, self.dtype)
+        Xown = stiefel.lift_trajectory(jnp.asarray(T_world, self.dtype), Y)
+        self.X = self.X.at[: self.n_local].set(Xown)
+        self.V = self.X
+        self.X_prev = self.X
+        self.theta = 1.0
+        self._publish_poses_requested = True
+        self.logger.log_event("ROBUST_RESET")
 
     def _world_trajectory_with_neighbors(self) -> np.ndarray:
         ntot = self.n_local + len(self.neighbor_slots)
@@ -1072,7 +1141,10 @@ class PGOAgentNode:
         if self.edges is not None and self.measurements is not None:
             w = np.array(self.edges.weight)
             loops = np.asarray(self.edges.is_loop) > 0
-            und = loops & (w > 1e-6) & (w < 1 - 1e-6)
+            fixed = getattr(
+                self, "_fixed_np", np.zeros(len(w), bool)
+            )
+            und = loops & (w > 1e-6) & (w < 1 - 1e-6) & ~fixed
             if self.config.gnc_finalize_by_residual and und.any() and (
                 self.X is not None and self.Ylift is not None
             ):

@@ -157,6 +157,64 @@ def test_gnc_fleet_rejects_outlier():
         assert a.cached_weights[key] <= 1e-6
 
 
+def test_gnc_weight_freezing_and_fixed_replication():
+    """Round-1 verdict item: converged weights must freeze
+    (``weightConvergenceThreshold``) and the ``fixed`` flags must replicate
+    to the non-owner (reference ``PGOAgentROS.cpp:1315-1353``); a frozen
+    weight survives later weight rounds unchanged."""
+    data = load_g2o_dataset("tinyGrid3D", num_robots=2)
+    m = data.measurements
+    out = m.select(np.asarray([len(m) - 1]))
+    out.src_robot[:] = 0
+    out.src_frame[:] = 1
+    out.dst_robot[:] = 1
+    out.dst_frame[:] = 2
+    out.R[:] = np.eye(3)
+    out.t[:] = np.array([25.0, -13.0, 8.0])  # gross outlier
+    out.edge_type[:] = EdgeType.SHARED_LOOP_CLOSURE
+    out.fixed_weight[:] = False
+    data.measurements = m.concat(out)
+    cfg = _cfg(
+        2,
+        tol=0.05,
+        robust_cost_type=RobustCostType.GNC_TLS,
+        GNC_use_probability=False,
+        GNC_barc=3.0,
+        robust_opt_num_weight_updates=3,
+        robust_opt_inner_iters_per_robot=4,
+        weight_convergence_threshold=0.4,
+        robust_opt_num_resets=1,
+        max_iters=60,
+    )
+    ctl = DistributedController(data, cfg)
+    a1 = ctl.agents[1]  # NON-owner of shared edge (0,1)->(1,2); owner = 0
+    history = []
+    orig = a1._on_weights
+
+    def spy(msg):
+        orig(msg)
+        idx = getattr(a1, "_edge_index", None)
+        if idx and (0, 1, 1, 2) in idx and hasattr(a1, "_fixed_np"):
+            k = idx[(0, 1, 1, 2)]
+            history.append(
+                (bool(a1._fixed_np[k]), float(np.asarray(a1.edges.weight)[k]))
+            )
+
+    a1._on_weights = spy
+    res = ctl.run(max_ticks=6000)
+    assert all(res["terminated"])
+    # the replicated fixed flag arrived at the non-owner
+    assert any(f for f, _ in history), history
+    # once frozen, the weight never changes again
+    first_frozen = next(i for i, (f, _) in enumerate(history) if f)
+    frozen_w = history[first_frozen][1]
+    for f, w in history[first_frozen:]:
+        assert f and w == frozen_w
+    # the outlier ends rejected on both agents
+    for rid in (0, 1):
+        assert ctl.agents[rid].cached_weights[(0, 1, 1, 2)] <= 1e-6
+
+
 def test_warm_start_across_rounds():
     """Round 2 must reuse the cached optimized trajectory (reference
     warm-start across instances) and converge in fewer block updates."""
