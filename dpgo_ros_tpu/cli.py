@@ -143,6 +143,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--timeout_threshold", type=float, default=15.0)
     p.add_argument("--verbose", type=_bool, default=False)
     p.add_argument("--dtype", choices=["float32", "float64"], default="float32")
+    p.add_argument(
+        "--use_fused_kernel",
+        type=_bool,
+        default=None,
+        help="single-Pallas-kernel RTR block solve (default: auto — on for "
+        "fp32+RTR on a TPU backend)",
+    )
     p.add_argument("--seed", type=int, default=42)
     return p
 
@@ -201,6 +208,7 @@ def args_to_config(a):
         log_directory=a.log_directory,
         verbose=a.verbose,
         dtype=a.dtype,
+        use_fused_kernel=a.use_fused_kernel,
         seed=a.seed,
     )
 

@@ -1,0 +1,684 @@
+"""Single-Pallas-kernel Riemannian trust-region block solve (the TPU hot path).
+
+Round-1 profiling (docs/PERFORMANCE.md) showed the per-block-update cost on
+this runtime is dominated by the ~165 µs per-XLA-fusion dispatch floor: a
+block update lowered to ~30 fusion executions ≈ 10 ms with the chip idle
+almost all the time. This module collapses the ENTIRE ``rtr_solve`` — cost,
+gradient, truncated-CG loop, trust-region acceptance, Newton–Schulz
+retraction — into ONE Mosaic kernel with all state VMEM-resident
+(sphere2500: X 200 KB, edges <1 MB, CG state ~1 MB — far under the ~16 MB
+VMEM), so a block update pays the dispatch floor once instead of ~30×.
+
+TPU-native design decisions:
+
+* **Transposed SoA layout**: state rides as ``(C, n_pad)`` with
+  C = r·(d+1) feature rows and poses on the 128-lane axis (component-major
+  rows: row ``b·r + a`` holds X[i, a, b]). Every small per-pose algebra —
+  edge residuals, tangent projection, block-Jacobi preconditioner,
+  Newton–Schulz polar retraction — becomes a handful of full-lane VPU row
+  ops instead of thousands of serialized (5×4)·(4×4) matmuls.
+* **Chain edges are lane shifts**: any edge with ``dst == src + 1`` in the
+  global flattened pose index (all odometry after contiguous partitioning,
+  reference ``PGODatasetPublisherNode.cpp:84-135``, plus the consecutive
+  shared loop closures at robot boundaries) occupies the dense "chain lane"
+  src: endpoint gathers are a one-lane shift and scatter-adds are the
+  shifted add — zero gather cost for ~half the edges of a typical pose graph.
+* **Loop-closure gathers are one-hot MXU matmuls**: Mosaic (still) cannot
+  lower vectorized gathers (``ref[idx_vec]`` → "Cannot do int indexing on
+  TPU"), so arbitrary-index gathers/scatter-adds run as chunked
+  ``one_hot(idx) @ table`` contractions on the MXU. The one-hot is exact in
+  bf16; the fp32 table is split hi/lo into two stacked bf16 operands
+  (fp32 = bf16_hi + bf16_lo to ~2⁻¹⁶ relative), so a single fp32-accumulating
+  bf16 matmul pair reproduces the fp32 gather to ~1e-6 relative — measured
+  6.3e-6 max error on sphere2500 against the XLA fp32 operator.
+
+Capability citations: solver budget semantics per reference
+``launch/dpgo_demo.launch:33-35`` (RTR_iterations / RTR_tCG_iterations /
+gradnorm_tol); the solve itself replaces ROPTLIB's RTR inside DPGO's
+``iterate(true)`` (SURVEY.md §3 hot loop #1).
+
+fp64 runs (golden-accuracy CPU solves) keep the XLA path in
+``models/local_solvers.py`` — this kernel is the fp32 TPU throughput path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dpgo_ros_tpu.ops.quadratic import EdgeSet
+
+CHUNK = 512  # one-hot matmul chunk width (lanes)
+_STATS_W = 128  # stats row width; layout below
+# stats layout: [0]=f0 [1]=f_opt [2]=gn0 [3]=gn_opt [4]=iters
+_S_MOVED = 8  # [8 : 8+R]   per-robot block Frobenius displacement
+_S_UPD = 64  # [64 : 64+R]  per-robot "was updated" flag (mask coverage)
+MAX_ROBOTS = _S_UPD - _S_MOVED  # stats-row capacity
+
+
+def _rup(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# --------------------------------------------------------------------------
+# layout transforms (XLA-side, cheap)
+# --------------------------------------------------------------------------
+
+
+def to_t(X: jnp.ndarray, n_pad: int) -> jnp.ndarray:
+    """(n, r, d+1) fp32 → (C, n_pad) component-major rows (row b·r+a)."""
+    n, r, dp1 = X.shape
+    Xt = jnp.transpose(X, (2, 1, 0)).reshape(dp1 * r, n)
+    return jnp.pad(Xt, ((0, 0), (0, n_pad - n)))
+
+
+def from_t(Xt: jnp.ndarray, n: int, r: int, dp1: int) -> jnp.ndarray:
+    return jnp.transpose(Xt[:, :n].reshape(dp1, r, n), (2, 1, 0))
+
+
+def pinv_to_t(Pinv: jnp.ndarray, n_pad: int) -> jnp.ndarray:
+    """(n, d+1, d+1) → ((d+1)², n_pad); row b·(d+1)+b2 = Pinv[:, b, b2]."""
+    n, dp1, _ = Pinv.shape
+    Pt = jnp.transpose(Pinv, (1, 2, 0)).reshape(dp1 * dp1, n)
+    return jnp.pad(Pt, ((0, 0), (0, n_pad - n)))
+
+
+def mask_to_row(mask: jnp.ndarray, n_pad: int) -> jnp.ndarray:
+    """(n, 1, 1) block mask → (1, n_pad) fp32 row."""
+    m = mask[:, 0, 0].astype(jnp.float32)
+    return jnp.pad(m, (0, n_pad - m.shape[0]))[None, :]
+
+
+# --------------------------------------------------------------------------
+# static kernel-side edge layout
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class KernelGraph:
+    """Host-built static layout splitting an EdgeSet into chain lanes
+    (dst == src+1: gathers become shifts) and loop slots (one-hot matmuls).
+
+    Geometry (R, t) never changes; robust weights do (GNC rounds), so the
+    per-lane effective weights are rebuilt on device via
+    :meth:`weight_rows` from the live weight vector.
+    """
+
+    n: int
+    n_pad: int
+    r: int
+    d: int
+    E_loop: int
+    E_loop_pad: int
+    num_robots: int
+    offsets: Tuple[int, ...]  # robot block starts (static)
+    num_poses: Tuple[int, ...]
+    chain_R: np.ndarray  # (d*d, n_pad) fp32
+    chain_t: np.ndarray  # (d, n_pad)
+    loop_idx2: np.ndarray  # (1, 2*E_loop_pad) int32  [src block | dst block]
+    loop_R: np.ndarray  # (d*d, E_loop_pad)
+    loop_t: np.ndarray  # (d, E_loop_pad)
+    # weight-refresh scatter maps over the problem's (padded) edge array
+    chain_lane_of_edge: np.ndarray  # (E_pad,) int32; n_pad = dump slot
+    loop_slot_of_edge: np.ndarray  # (E_pad,) int32; E_loop_pad = dump slot
+
+    @staticmethod
+    def build(edges: EdgeSet, n: int, num_robots: int,
+              offsets, num_poses) -> "KernelGraph":
+        src = np.asarray(edges.src)
+        dst = np.asarray(edges.dst)
+        R = np.asarray(edges.R, np.float32)
+        t = np.asarray(edges.t, np.float32)
+        msk = np.asarray(edges.mask) > 0
+        E_pad = src.shape[0]
+        d = R.shape[-1]
+        r = None  # set by caller via problem; not needed here
+        n_pad = max(_rup(n, 256), 256)
+
+        chain_lane = np.full((E_pad,), n_pad, np.int32)
+        claimed = np.zeros((n_pad,), bool)
+        loop_edges = []
+        for e in range(E_pad):
+            if not msk[e]:
+                continue
+            s, dd = int(src[e]), int(dst[e])
+            if dd == s + 1 and not claimed[s]:
+                chain_lane[e] = s
+                claimed[s] = True
+            else:
+                loop_edges.append(e)
+        E_loop = len(loop_edges)
+        E_loop_pad = max(_rup(E_loop, CHUNK // 2), CHUNK // 2)
+
+        chain_R = np.zeros((d * d, n_pad), np.float32)
+        chain_R[:: d + 1, :] = 1.0  # identity on empty lanes (harmless, w=0)
+        chain_t = np.zeros((d, n_pad), np.float32)
+        for e in range(E_pad):
+            lane = chain_lane[e]
+            if lane < n_pad:
+                for k in range(d):
+                    for b in range(d):
+                        chain_R[k * d + b, lane] = R[e, k, b]
+                    chain_t[k, lane] = t[e, k]
+
+        loop_slot = np.full((E_pad,), E_loop_pad, np.int32)
+        loop_idx2 = np.zeros((1, 2 * E_loop_pad), np.int32)
+        loop_R = np.zeros((d * d, E_loop_pad), np.float32)
+        loop_R[:: d + 1, :] = 1.0
+        loop_t = np.zeros((d, E_loop_pad), np.float32)
+        for slot, e in enumerate(loop_edges):
+            loop_slot[e] = slot
+            loop_idx2[0, slot] = src[e]
+            loop_idx2[0, E_loop_pad + slot] = dst[e]
+            for k in range(d):
+                for b in range(d):
+                    loop_R[k * d + b, slot] = R[e, k, b]
+                loop_t[k, slot] = t[e, k]
+
+        return KernelGraph(
+            n=n,
+            n_pad=n_pad,
+            r=-1,  # filled by with_rank
+            d=d,
+            E_loop=E_loop,
+            E_loop_pad=E_loop_pad,
+            num_robots=num_robots,
+            offsets=tuple(int(o) for o in offsets),
+            num_poses=tuple(int(k) for k in num_poses),
+            chain_R=chain_R,
+            chain_t=chain_t,
+            loop_idx2=loop_idx2,
+            loop_R=loop_R,
+            loop_t=loop_t,
+            chain_lane_of_edge=chain_lane,
+            loop_slot_of_edge=loop_slot,
+        )
+
+    def with_rank(self, r: int) -> "KernelGraph":
+        return dataclasses.replace(self, r=r)
+
+    def weight_rows(self, edges: EdgeSet, weights: jnp.ndarray):
+        """Device-side rebuild of per-lane effective weights from the live
+        weight vector (run once per GNC weight round, off the hot path).
+
+        Returns (kwc, twc, kwl, twl) rows of shapes (1, n_pad)/(1, E_loop_pad).
+        """
+        w = (weights * edges.mask).astype(jnp.float32)
+        kw = w * edges.kappa.astype(jnp.float32)
+        tw = w * edges.tau.astype(jnp.float32)
+        cl = jnp.asarray(self.chain_lane_of_edge)
+        ll = jnp.asarray(self.loop_slot_of_edge)
+        kwc = jnp.zeros((self.n_pad + 1,), jnp.float32).at[cl].add(kw)[
+            : self.n_pad][None, :]
+        twc = jnp.zeros((self.n_pad + 1,), jnp.float32).at[cl].add(tw)[
+            : self.n_pad][None, :]
+        kwl = jnp.zeros((self.E_loop_pad + 1,), jnp.float32).at[ll].add(kw)[
+            : self.E_loop_pad][None, :]
+        twl = jnp.zeros((self.E_loop_pad + 1,), jnp.float32).at[ll].add(tw)[
+            : self.E_loop_pad][None, :]
+        return kwc, twc, kwl, twl
+
+    def constants(self):
+        """Static device constants (chain/loop geometry + indices)."""
+        return (
+            jnp.asarray(self.loop_idx2),
+            jnp.asarray(self.chain_R),
+            jnp.asarray(self.chain_t),
+            jnp.asarray(self.loop_R),
+            jnp.asarray(self.loop_t),
+        )
+
+
+def build_kernel_graph(problem, r: Optional[int] = None) -> KernelGraph:
+    """KernelGraph from a LiftedProblem."""
+    kg = KernelGraph.build(
+        problem.edges, problem.n, problem.num_robots, problem.offsets,
+        problem.num_poses,
+    )
+    return kg.with_rank(r or problem.r)
+
+
+# --------------------------------------------------------------------------
+# the kernel
+# --------------------------------------------------------------------------
+
+
+def _hilo(x: jnp.ndarray) -> jnp.ndarray:
+    """fp32 (C, N) → (2C, N) bf16 [hi; lo] with hi+lo ≈ x to ~2⁻¹⁶."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, lo], axis=0)
+
+
+@functools.lru_cache(maxsize=32)
+def _make_rtr_kernel(
+    n_pad: int,
+    E_loop_pad: int,
+    r: int,
+    d: int,
+    num_robots: int,
+    offsets: Tuple[int, ...],
+    num_poses: Tuple[int, ...],
+    max_iterations: int,
+    max_tcg_iterations: int,
+    gradnorm_tol: float,
+    initial_radius: float,
+    max_radius: float,
+    tcg_kappa: float,
+    tcg_theta: float,
+    interpret: bool,
+):
+    """Compile-cached pallas_call for one full RTR block solve."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    C = r * (d + 1)
+    E2 = 2 * E_loop_pad
+    n_chunks = E2 // CHUNK if E2 >= CHUNK else 0
+    tail = E2 - n_chunks * CHUNK  # 0 or 256 (E_loop_pad multiple of 256)
+    EPS = 1e-30  # fp32-representable guard (XLA path uses 1e-300 in fp64)
+
+    def kernel(
+        xt_ref, mask_ref, pinv_ref, kwc_ref, twc_ref, kwl_ref, twl_ref,
+        idx2_ref, Rc_ref, tc_ref, Rl_ref, tl_ref,
+        xout_ref, stats_ref,
+        gat_ref, call_ref, acc_ref,
+    ):
+        mask = mask_ref[:]  # (1, n_pad)
+        Rc = Rc_ref[:]
+        tc = tc_ref[:]
+        kwc = kwc_ref[:]
+        twc = twc_ref[:]
+        Rl = Rl_ref[:]
+        tl = tl_ref[:]
+        kwl = kwl_ref[:]
+        twl = twl_ref[:]
+        Pt = pinv_ref[:]
+
+        zcol = jnp.zeros((C, 1), jnp.float32)
+
+        def shift_left(A):  # lane i ← A[:, i+1]
+            return jnp.concatenate([A[:, 1:], zcol], axis=1)
+
+        def shift_right(A):  # lane i ← A[:, i-1]
+            return jnp.concatenate([zcol, A[:, :-1]], axis=1)
+
+        # ---- one-hot gather/scatter over loop slots -----------------------
+        def gather_loop(T):
+            """T (C, n_pad) → (C, 2·E_loop_pad) endpoint rows [src | dst]."""
+            Thl = _hilo(T)
+
+            def chunk_at(off, width):
+                sl = idx2_ref[0, pl.ds(off, width)]
+                iota = jax.lax.broadcasted_iota(jnp.int32, (n_pad, width), 0)
+                oh = (iota == sl[None, :]).astype(jnp.bfloat16)
+                res = jax.lax.dot_general(
+                    Thl, oh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                gat_ref[:, pl.ds(off, width)] = res[:C] + res[C:]
+
+            def gbody(c, _):
+                chunk_at(c * CHUNK, CHUNK)
+                return 0
+
+            if n_chunks:
+                jax.lax.fori_loop(0, n_chunks, gbody, 0)
+            if tail:
+                chunk_at(n_chunks * CHUNK, tail)
+            return gat_ref[:]
+
+        def scatter_loop(Ci, Cj):
+            """Σ_slots contributions → (C, n_pad) via transposed one-hots."""
+            call_ref[:] = _hilo(jnp.concatenate([Ci, Cj], axis=1))
+            acc_ref[:] = jnp.zeros((2 * C, n_pad), jnp.float32)
+
+            def chunk_at(off, width):
+                sl = idx2_ref[0, pl.ds(off, width)]
+                iota = jax.lax.broadcasted_iota(jnp.int32, (width, n_pad), 1)
+                oh = (iota == sl[:, None]).astype(jnp.bfloat16)
+                chunk = call_ref[:, pl.ds(off, width)]
+                acc_ref[:] += jax.lax.dot_general(
+                    chunk, oh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            def sbody(c, _):
+                chunk_at(c * CHUNK, CHUNK)
+                return 0
+
+            if n_chunks:
+                jax.lax.fori_loop(0, n_chunks, sbody, 0)
+            if tail:
+                chunk_at(n_chunks * CHUNK, tail)
+            A = acc_ref[:]
+            return A[:C] + A[C:]
+
+        # ---- edge algebra (shared chain/loop; all row-wise VPU) -----------
+        def edge_terms(Vi, Vj, Rv, tv, kw, tw):
+            """Residual terms: kr1 (list d of (r,N)) = 2·kw·r1_b,
+            tr2 (r,N) = 2·tw·r2, f = Σ kw‖r1‖² + tw‖r2‖²."""
+            kr1 = []
+            f = jnp.zeros((), jnp.float32)
+            for b in range(d):
+                acc = Vj[b * r:(b + 1) * r]
+                for k in range(d):
+                    acc = acc - Vi[k * r:(k + 1) * r] * Rv[k * d + b][None, :]
+                f = f + jnp.sum(kw * (acc * acc))
+                kr1.append(2.0 * kw * acc)
+            r2 = Vj[d * r:(d + 1) * r] - Vi[d * r:(d + 1) * r]
+            for k in range(d):
+                r2 = r2 - Vi[k * r:(k + 1) * r] * tv[k][None, :]
+            f = f + jnp.sum(tw * (r2 * r2))
+            tr2 = 2.0 * tw * r2
+            return kr1, tr2, f
+
+        def edge_contribs(kr1, tr2, Rv, tv):
+            """Per-edge gradient contributions → Ci (src), Cj (dst)."""
+            rows_i = []
+            for k in range(d):
+                acc = tr2 * tv[k][None, :]
+                for b in range(d):
+                    acc = acc + kr1[b] * Rv[k * d + b][None, :]
+                rows_i.append(-acc)
+            rows_i.append(-tr2)
+            Ci = jnp.concatenate(rows_i, axis=0)
+            Cj = jnp.concatenate(kr1 + [tr2], axis=0)
+            return Ci, Cj
+
+        def egrad_and_cost(T):
+            """(∇f(T), f(T)) over chain + loop edges — the Q operator."""
+            Vi = T
+            Vj = shift_left(T)
+            kr1, tr2, f = edge_terms(Vi, Vj, Rc, tc, kwc, twc)
+            Ci, Cj = edge_contribs(kr1, tr2, Rc, tc)
+            G = Ci + shift_right(Cj)
+            if E_loop_pad > 0:
+                Gt = gather_loop(T)
+                Vi_l = Gt[:, :E_loop_pad]
+                Vj_l = Gt[:, E_loop_pad:]
+                kr1l, tr2l, fl = edge_terms(Vi_l, Vj_l, Rl, tl, kwl, twl)
+                Cil, Cjl = edge_contribs(kr1l, tr2l, Rl, tl)
+                G = G + scatter_loop(Cil, Cjl)
+                f = f + fl
+            return G, f
+
+        # ---- manifold row algebra -----------------------------------------
+        def rowsum(A):  # (rows, N) → (1, N)
+            return jnp.sum(A, axis=0, keepdims=True)
+
+        def proj(Xv, V):
+            """Tangent projection at Xv: V_Y − Y·sym(YᵀV_Y); p free."""
+            S = []  # S[k][l] = Σ_a Y_k[a] V_l[a]  (1, N)
+            for k in range(d):
+                Yk = Xv[k * r:(k + 1) * r]
+                S.append([rowsum(Yk * V[l * r:(l + 1) * r]) for l in range(d)])
+            out = []
+            for l in range(d):
+                acc = V[l * r:(l + 1) * r]
+                for k in range(d):
+                    Skl = 0.5 * (S[k][l] + S[l][k])
+                    acc = acc - Xv[k * r:(k + 1) * r] * Skl
+                out.append(acc)
+            out.append(V[d * r:(d + 1) * r])
+            return jnp.concatenate(out, axis=0)
+
+        def precond(V):
+            """V ← V·P⁻¹ per pose (component-major rows)."""
+            out = []
+            for b2 in range(d + 1):
+                acc = V[0:r] * Pt[0 * (d + 1) + b2][None, :]
+                for b in range(1, d + 1):
+                    acc = acc + V[b * r:(b + 1) * r] * Pt[b * (d + 1) + b2][None, :]
+                out.append(acc)
+            return jnp.concatenate(out, axis=0)
+
+        def inner(U, V):
+            return jnp.sum(U * V)
+
+        def retract(Xv, V):
+            """Newton–Schulz polar retraction (20 iters), translations move
+            Euclidean — mirrors stiefel.retract_polar_ns."""
+            A = Xv[: d * r] + V[: d * r]  # (d·r, N)
+            tr = rowsum(A * A)
+            s = jax.lax.rsqrt(jnp.maximum(tr, 1e-12))
+            Z0 = A * s
+
+            def body(_, Z):
+                G3 = []
+                for k in range(d):
+                    Zk = Z[k * r:(k + 1) * r]
+                    G3.append([rowsum(Zk * Z[l * r:(l + 1) * r])
+                               for l in range(d)])
+                rows = []
+                for l in range(d):
+                    acc = 3.0 * Z[l * r:(l + 1) * r]
+                    for k in range(d):
+                        acc = acc - Z[k * r:(k + 1) * r] * G3[k][l]
+                    rows.append(0.5 * acc)
+                return jnp.concatenate(rows, axis=0)
+
+            Z = jax.lax.fori_loop(0, 20, body, Z0)
+            p = Xv[d * r:(d + 1) * r] + V[d * r:(d + 1) * r]
+            return jnp.concatenate([Z, p], axis=0)
+
+        # ---- truncated CG ---------------------------------------------------
+        def hess(Xv, Ssym, V):
+            """mask ∘ (proj(egrad(V) − VY·sym(YᵀG_Y)))  — rhess_vp."""
+            EH, _ = egrad_and_cost(V)
+            rows = []
+            for b in range(d):
+                acc = EH[b * r:(b + 1) * r]
+                for k in range(d):
+                    acc = acc - V[k * r:(k + 1) * r] * Ssym[k * d + b][None, :]
+                rows.append(acc)
+            rows.append(EH[d * r:(d + 1) * r])
+            corr = jnp.concatenate(rows, axis=0)
+            return mask * proj(Xv, corr)
+
+        def make_Ssym(Xv, G):
+            """sym(Yᵀ G_Y) rows (d·d, N)."""
+            S = {}
+            for k in range(d):
+                Yk = Xv[k * r:(k + 1) * r]
+                for l in range(d):
+                    S[(k, l)] = rowsum(Yk * G[l * r:(l + 1) * r])
+            rows = [0.5 * (S[(k, l)] + S[(l, k)])
+                    for k in range(d) for l in range(d)]
+            return jnp.concatenate(rows, axis=0)
+
+        def prec_tangent(Xv, V):
+            return mask * proj(Xv, precond(V))
+
+        def tcg(Xv, G, radius):
+            g = mask * proj(Xv, G)
+            Ssym = make_Ssym(Xv, G)
+            r0 = g
+            z0 = prec_tangent(Xv, r0)
+            r_z0 = inner(r0, z0)
+            r0n = jnp.sqrt(jnp.maximum(inner(r0, r0), EPS))
+            if tcg_theta == 1.0:
+                target = r0n * jnp.minimum(tcg_kappa, r0n)
+            else:
+                target = r0n * jnp.minimum(
+                    tcg_kappa, jnp.power(r0n, tcg_theta)
+                )
+            Zr = jnp.zeros((C, n_pad), jnp.float32)
+
+            def boundary_step(eta, delta):
+                ee = inner(eta, eta)
+                ed = inner(eta, delta)
+                dd = jnp.maximum(inner(delta, delta), EPS)
+                disc = jnp.maximum(ed * ed + dd * (radius * radius - ee), 0.0)
+                return (-ed + jnp.sqrt(disc)) / dd
+
+            def cond(s):
+                eta, Heta, rr, z, delta, r_z, k, done = s
+                return jnp.logical_and(
+                    jnp.logical_not(done), k < max_tcg_iterations
+                )
+
+            def body(s):
+                eta, Heta, rr, z, delta, r_z, k, done = s
+                Hd = hess(Xv, Ssym, delta)
+                dHd = inner(delta, Hd)
+                alpha = r_z / jnp.where(dHd > 0, dHd, 1.0)
+                eta_try = eta + alpha * delta
+                eta_n2 = inner(eta_try, eta_try)
+                hit = jnp.logical_or(dHd <= 0, eta_n2 >= radius * radius)
+                tau = boundary_step(eta, delta)
+                step = jnp.where(hit, tau, alpha)
+                eta_new = eta + step * delta
+                Heta_new = Heta + step * Hd
+                r_new = rr + alpha * Hd
+                r_nrm = jnp.sqrt(jnp.maximum(inner(r_new, r_new), 0.0))
+                conv = r_nrm <= target
+                z_new = prec_tangent(Xv, r_new)
+                r_z_new = inner(r_new, z_new)
+                beta = r_z_new / jnp.maximum(r_z, EPS)
+                delta_new = -z_new + beta * delta
+                done_new = jnp.logical_or(hit, conv)
+                return (
+                    eta_new,
+                    Heta_new,
+                    jnp.where(done_new, rr, r_new),
+                    jnp.where(done_new, z, z_new),
+                    jnp.where(done_new, delta, delta_new),
+                    jnp.where(done_new, r_z, r_z_new),
+                    k + 1,
+                    done_new,
+                )
+
+            init = (Zr, Zr, r0, z0, -z0, r_z0,
+                    jnp.zeros((), jnp.int32), r0n <= 0.0)
+            eta, Heta, *_ = jax.lax.while_loop(cond, body, init)
+            return eta, Heta, g
+
+        # ---- trust-region outer loop ---------------------------------------
+        X0 = xt_ref[:]
+        G0, f0 = egrad_and_cost(X0)
+        g0 = mask * proj(X0, G0)
+        gn0 = jnp.sqrt(jnp.maximum(inner(g0, g0), 0.0))
+
+        def tr_cond(s):
+            Xv, G, f, radius, k, gn, done = s
+            return jnp.logical_and(
+                jnp.logical_not(done), k < max_iterations
+            )
+
+        def tr_body(s):
+            Xv, G, f, radius, k, gn, done = s
+            eta, Heta, g = tcg(Xv, G, radius)
+            pred = -(inner(g, eta) + 0.5 * inner(eta, Heta))
+            X_try = retract(Xv, eta)
+            G_try, f_try = egrad_and_cost(X_try)
+            ared = f - f_try
+            rho = ared / jnp.where(jnp.abs(pred) > EPS, pred, EPS)
+            accept = jnp.logical_and(rho > 0.1, pred > 0)
+            eta_n = jnp.sqrt(jnp.maximum(inner(eta, eta), 0.0))
+            radius_new = jnp.where(
+                rho < 0.25,
+                0.25 * radius,
+                jnp.where(
+                    jnp.logical_and(rho > 0.75, eta_n >= 0.99 * radius),
+                    jnp.minimum(2.0 * radius, max_radius),
+                    radius,
+                ),
+            )
+            X_new = jnp.where(accept, X_try, Xv)
+            f_new = jnp.where(accept, f_try, f)
+            G_new = jnp.where(accept, G_try, G)
+            gN = mask * proj(X_new, G_new)
+            gn_new = jnp.sqrt(jnp.maximum(inner(gN, gN), 0.0))
+            return (
+                X_new, G_new, f_new, radius_new, k + 1, gn_new,
+                gn_new <= gradnorm_tol,
+            )
+
+        init = (
+            X0, G0, f0,
+            jnp.asarray(initial_radius, jnp.float32),
+            jnp.zeros((), jnp.int32), gn0, gn0 <= gradnorm_tol,
+        )
+        Xf, Gf, ff, _, kf, gnf, _ = jax.lax.while_loop(tr_cond, tr_body, init)
+        xout_ref[:] = Xf
+
+        # ---- stats row (scalar VMEM stores are illegal: build via selects) --
+        vals = {0: f0, 1: ff, 2: gn0, 3: gnf, 4: kf.astype(jnp.float32)}
+        D = (Xf - X0) * mask
+        for rb in range(num_robots):
+            o, nk = offsets[rb], num_poses[rb]
+            blk = D[:, o:o + nk]
+            vals[_S_MOVED + rb] = jnp.sqrt(jnp.sum(blk * blk))
+            vals[_S_UPD + rb] = jnp.max(mask[:, o:o + nk])
+        iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, _STATS_W), 1)
+        stats = jnp.zeros((1, _STATS_W), jnp.float32)
+        for pos, v in vals.items():
+            stats = jnp.where(iota_s == pos, v, stats)
+        stats_ref[:] = stats
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((C, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, _STATS_W), jnp.float32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 12,
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((C, max(E2, CHUNK)), jnp.float32),  # gathered endpoints
+            pltpu.VMEM((2 * C, max(E2, CHUNK)), jnp.bfloat16),  # contributions
+            pltpu.VMEM((2 * C, n_pad), jnp.float32),  # scatter accumulator
+        ],
+        interpret=interpret,
+    )
+
+
+def rtr_solve_fused(
+    Xt: jnp.ndarray,
+    mask_row: jnp.ndarray,
+    pinv_t: jnp.ndarray,
+    wrows: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray],
+    kg: KernelGraph,
+    params,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One full RTR block solve as a single Pallas kernel.
+
+    Args: transposed state (C, n_pad), (1, n_pad) block-mask row, transposed
+    block-Jacobi inverse, per-lane weight rows from
+    :meth:`KernelGraph.weight_rows`, and RTRParams.
+
+    Returns (Xt_new, stats) — stats layout at module top.
+    """
+    fk = _make_rtr_kernel(
+        kg.n_pad,
+        kg.E_loop_pad,
+        kg.r,
+        kg.d,
+        kg.num_robots,
+        kg.offsets,
+        kg.num_poses,
+        int(params.max_iterations),
+        int(params.max_tcg_iterations),
+        float(params.gradnorm_tol),
+        float(params.initial_radius),
+        float(params.max_radius),
+        float(params.tcg_kappa),
+        float(params.tcg_theta),
+        interpret,
+    )
+    idx2, Rc, tc, Rl, tl = kg.constants()
+    kwc, twc, kwl, twl = wrows
+    return fk(Xt, mask_row, pinv_t, kwc, twc, kwl, twl, idx2, Rc, tc, Rl, tl)

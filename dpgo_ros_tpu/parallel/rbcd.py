@@ -46,7 +46,7 @@ from dpgo_ros_tpu.models.local_solvers import (
 )
 from dpgo_ros_tpu.models.problem import LiftedProblem
 from dpgo_ros_tpu.ops import chordal as chordal_ops
-from dpgo_ros_tpu.ops import lie, quadratic, rounding, stiefel
+from dpgo_ros_tpu.ops import fused_rtr, lie, quadratic, rounding, stiefel
 from dpgo_ros_tpu.types import EdgeType
 from dpgo_ros_tpu.utils.config import (
     AgentConfig,
@@ -117,6 +117,24 @@ class RBCDEngine:
         ]
         self._color_masks = jnp.stack(color_masks, axis=0)
         self.Ylift: Optional[jnp.ndarray] = None
+
+        # single-Pallas-kernel RTR solve (ops/fused_rtr.py): collapses a full
+        # block update into one kernel execution — the fp32 TPU hot path
+        auto = (
+            self.dtype == jnp.float32
+            and jax.default_backend() == "tpu"
+        )
+        want = cfg.use_fused_kernel if cfg.use_fused_kernel is not None else auto
+        self._use_fused = bool(
+            want
+            and self.config.solver == SolverMethod.RTR
+            and self.dtype == jnp.float32
+            and problem.num_robots <= fused_rtr.MAX_ROBOTS
+        )
+        self._interpret_fused = jax.default_backend() != "tpu"
+        self._kg = (
+            fused_rtr.build_kernel_graph(problem) if self._use_fused else None
+        )
 
         self._step_seq = jax.jit(self._step_sequential_impl)
         self._step_par = jax.jit(self._step_parallel_impl)
@@ -342,12 +360,51 @@ class RBCDEngine:
 
     # ------------------------------------------------------------------ steps
 
-    def _local_solve(self, X, e, mask, P):
+    def _solver_cache(self, e):
+        """Weight-dependent solver constants, hoisted off the hot loop: the
+        block-Jacobi inverse and — on the fused-kernel path — its transposed
+        layout plus the per-lane effective-weight rows (recomputed once per
+        GNC weight round, like the reference's ``clearDataMatrices``
+        invalidation, ``src/PGOAgentROS.cpp:1351``)."""
+        P = self._precond_inv(e)
+        if self._use_fused:
+            return (
+                fused_rtr.pinv_to_t(P, self._kg.n_pad),
+                self._kg.weight_rows(e, e.weight),
+            )
+        return (P, None)
+
+    def _local_solve(self, X, e, mask, cache):
+        if self._use_fused:
+            pt, wrows = cache
+            kg = self._kg
+            prob = self.problem
+            Xt = fused_rtr.to_t(X, kg.n_pad)
+            mrow = fused_rtr.mask_to_row(mask, kg.n_pad)
+            Xt_new, stats = fused_rtr.rtr_solve_fused(
+                Xt, mrow, pt, wrows, kg, self.rtr_params,
+                interpret=self._interpret_fused,
+            )
+            X_new = jnp.where(
+                mask > 0,
+                fused_rtr.from_t(Xt_new, prob.n, prob.r, prob.d + 1),
+                X,
+            )
+            res = OptResult(
+                success=jnp.asarray(True),
+                f_init=stats[0, 0],
+                f_opt=stats[0, 1],
+                gradnorm_init=stats[0, 2],
+                gradnorm_opt=stats[0, 3],
+                iterations=stats[0, 4].astype(jnp.int32),
+            )
+            return X_new, res
+        P = cache[0]
         if self.config.solver == SolverMethod.RTR:
             return rtr_solve(X, e, mask, P, self.rtr_params)
         return rgd_solve(X, e, mask, P, self.rgd_params)
 
-    def _block_update(self, st: RBCDState, mask, e, P):
+    def _block_update(self, st: RBCDState, mask, e, cache):
         """One masked block update, optionally Nesterov-accelerated.
 
         Accelerated RBCD requires the block subproblem to be solved against
@@ -364,7 +421,7 @@ class RBCDEngine:
         """
         cfg = self.config
         if not cfg.acceleration:
-            X_new, res = self._local_solve(st.X, e, mask, P)
+            X_new, res = self._local_solve(st.X, e, mask, cache)
             return X_new, X_new, res, st.theta
 
         theta_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * st.theta**2))
@@ -373,7 +430,7 @@ class RBCDEngine:
         else:
             beta = (st.theta - 1.0) / theta_new
         # solve block against neighbors at their auxiliary values
-        Z, res_acc = self._local_solve(st.V, e, mask, P)
+        Z, res_acc = self._local_solve(st.V, e, mask, cache)
         X_acc = jnp.where(mask > 0, Z, st.X)
         f_acc = quadratic.cost(X_acc, e)
 
@@ -387,7 +444,7 @@ class RBCDEngine:
             return X_acc, V_new, r, theta_new
 
         def restart():
-            X_r, res_r = self._local_solve(st.X, e, mask, P)
+            X_r, res_r = self._local_solve(st.X, e, mask, cache)
             return X_r, X_r, res_r, jnp.asarray(1.0, st.theta.dtype)
 
         if cfg.acceleration_safeguard:
@@ -453,21 +510,17 @@ class RBCDEngine:
             quadratic.precond_blocks(e, self.problem.n)
         )
 
-    def _step_sequential_impl(
-        self, st: RBCDState, robot: jnp.ndarray, Pinv: jnp.ndarray | None = None
-    ):
+    def _step_sequential_impl(self, st: RBCDState, robot: jnp.ndarray, cache=None):
         """Synchronous RBCD step: the robot named by the UPDATE token
         optimizes its block (reference ``iterate(true)`` vs ``iterate(false)``,
         ``src/PGOAgentROS.cpp:1161-1189``)."""
         e = self._edges(st.weights)
         mask = self._masks[robot]
-        P = Pinv if Pinv is not None else self._precond_inv(e)
-        X_new, V_new, res, theta = self._block_update(st, mask, e, P)
+        cache = cache if cache is not None else self._solver_cache(e)
+        X_new, V_new, res, theta = self._block_update(st, mask, e, cache)
         return self._finish_step(st, X_new, V_new, res, theta, mask)
 
-    def _step_parallel_impl(
-        self, st: RBCDState, color: jnp.ndarray, Pinv: jnp.ndarray | None = None
-    ):
+    def _step_parallel_impl(self, st: RBCDState, color: jnp.ndarray, cache=None):
         """Colored-parallel block update: all robots of ``color`` solve
         simultaneously. Their union mask selects a block-diagonal sub-Hessian
         (no shared edges within a color class), so the masked trust-region
@@ -475,8 +528,8 @@ class RBCDEngine:
         mesh this is the shard_map step of parallel/spmd.py."""
         e = self._edges(st.weights)
         mask = self._color_masks[color]
-        P = Pinv if Pinv is not None else self._precond_inv(e)
-        X_new, V_new, res, theta = self._block_update(st, mask, e, P)
+        cache = cache if cache is not None else self._solver_cache(e)
+        X_new, V_new, res, theta = self._block_update(st, mask, e, cache)
         return self._finish_step(st, X_new, V_new, res, theta, mask)
 
     def _weight_update_impl(self, st: RBCDState):
@@ -566,6 +619,7 @@ class RBCDEngine:
         }
         t_start = time.time()
         it = 0
+        cache = self._solver_cache(self._edges(state.weights))
         while it < max_iters:
             # GNC outer round? (global iteration counter — matches the fused
             # path and stays on the same cadence across checkpoint resumes)
@@ -574,6 +628,7 @@ class RBCDEngine:
                 state.weight_update_count < cfg.robust_opt_num_weight_updates
             ):
                 state = self._weight_upd(state)
+                cache = self._solver_cache(self._edges(state.weights))
                 history["event"].append((it, "UPDATE_WEIGHT"))
                 # optional re-initialization after early weight updates
                 # (robustOptNumResets, reference PGOAgentROSNode.cpp:212-221)
@@ -596,7 +651,7 @@ class RBCDEngine:
             t0 = time.time()
             if cfg.update_rule == UpdateRule.PARALLEL:
                 c = int(state.iteration) % self.num_colors
-                state, rc = self._step_par(state, jnp.asarray(c))
+                state, rc = self._step_par(state, jnp.asarray(c), cache)
             else:
                 if cfg.update_rule == UpdateRule.ROUND_ROBIN:
                     k = int(state.iteration) % prob.num_robots
@@ -609,7 +664,7 @@ class RBCDEngine:
                             prob.num_robots,
                         )
                     )
-                state, rc = self._step_seq(state, jnp.asarray(k))
+                state, rc = self._step_seq(state, jnp.asarray(k), cache)
             state.cost.block_until_ready()
             dt = time.time() - t0
             it += 1
@@ -681,37 +736,37 @@ class RBCDEngine:
         key0 = jax.random.PRNGKey(cfg.seed)
 
         def do_iter(carry):
-            st, Pinv = carry
+            st, cache = carry
             i = st.iteration
             if gnc:
                 def wu(args):
                     s, _ = args
                     s2 = self._weight_update_impl(s)
-                    # weights changed → refresh the cached preconditioner
-                    return s2, self._precond_inv(self._edges(s2.weights))
+                    # weights changed → refresh the cached solver constants
+                    return s2, self._solver_cache(self._edges(s2.weights))
 
-                st, Pinv = jax.lax.cond(
+                st, cache = jax.lax.cond(
                     (i > 0)
                     & (jnp.mod(i, inner) == 0)
                     & (st.weight_update_count < cfg.robust_opt_num_weight_updates),
                     wu,
                     lambda a: a,
-                    (st, Pinv),
+                    (st, cache),
                 )
             if cfg.update_rule == UpdateRule.PARALLEL:
                 st2, _ = self._step_parallel_impl(
-                    st, jnp.mod(i, self.num_colors), Pinv
+                    st, jnp.mod(i, self.num_colors), cache
                 )
             elif cfg.update_rule == UpdateRule.ROUND_ROBIN:
                 st2, _ = self._step_sequential_impl(
-                    st, jnp.mod(i, prob.num_robots), Pinv
+                    st, jnp.mod(i, prob.num_robots), cache
                 )
             else:
                 k = jax.random.randint(
                     jax.random.fold_in(key0, i), (), 0, prob.num_robots
                 )
-                st2, _ = self._step_sequential_impl(st, k, Pinv)
-            return st2, Pinv
+                st2, _ = self._step_sequential_impl(st, k, cache)
+            return st2, cache
 
         def cond_fn(carry):
             st, _ = carry
@@ -724,8 +779,8 @@ class RBCDEngine:
 
         @jax.jit
         def run(st: RBCDState) -> RBCDState:
-            Pinv = self._precond_inv(self._edges(st.weights))
-            out, _ = jax.lax.while_loop(cond_fn, do_iter, (st, Pinv))
+            cache = self._solver_cache(self._edges(st.weights))
+            out, _ = jax.lax.while_loop(cond_fn, do_iter, (st, cache))
             return out
 
         return run

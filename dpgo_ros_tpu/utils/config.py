@@ -167,6 +167,10 @@ class AgentConfig:
     # framework extras (TPU build)
     dtype: str = "float64"  # "float32" on TPU
     seed: int = 42
+    # single-Pallas-kernel RTR block solve (ops/fused_rtr.py): None = auto
+    # (enabled on a TPU backend with fp32 + RTR); False forces the XLA path;
+    # True forces the kernel (interpreter mode off-TPU — tests only)
+    use_fused_kernel: Optional[bool] = None
 
     def resolve(self) -> "AgentConfig":
         """Apply the reference's derived-parameter rules

@@ -1,0 +1,140 @@
+"""Fused single-Pallas-kernel RTR solve (ops/fused_rtr.py) vs the XLA path.
+
+Runs in Pallas interpreter mode on the CPU test backend; the TPU driver
+exercises the compiled kernel through bench.py / __graft_entry__.entry().
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dpgo_ros_tpu.io.datasets import load_g2o_dataset
+from dpgo_ros_tpu.models.local_solvers import RTRParams, rtr_solve
+from dpgo_ros_tpu.models.problem import LiftedProblem
+from dpgo_ros_tpu.ops import fused_rtr, quadratic, stiefel
+from dpgo_ros_tpu.parallel.rbcd import RBCDEngine
+from dpgo_ros_tpu.utils.config import AgentConfig, InitMethod, UpdateRule
+
+
+@pytest.fixture(scope="module")
+def small_problem():
+    data = load_g2o_dataset("smallGrid3D", num_robots=2)
+    return LiftedProblem.from_data(data, r=5, dtype=jnp.float32)
+
+
+def _noisy_state(prob, key=0):
+    k = jax.random.PRNGKey(key)
+    Y = stiefel.random_stiefel(k, prob.n, prob.r, prob.d, jnp.float32)
+    p = 0.1 * jax.random.normal(k, (prob.n, prob.r, 1), jnp.float32)
+    return jnp.concatenate([Y, p], axis=-1)
+
+
+def test_kernel_graph_covers_all_edges(small_problem):
+    prob = small_problem
+    kg = fused_rtr.build_kernel_graph(prob)
+    E_real = int(np.sum(np.asarray(prob.edges.mask) > 0))
+    n_chain = int(np.sum(kg.chain_lane_of_edge < kg.n_pad))
+    n_loop = int(np.sum(kg.loop_slot_of_edge < kg.E_loop_pad))
+    assert n_chain + n_loop == E_real
+    assert kg.E_loop == n_loop
+    # chain lanes really are consecutive-index edges
+    src = np.asarray(prob.edges.src)
+    dst = np.asarray(prob.edges.dst)
+    lanes = kg.chain_lane_of_edge
+    for e in np.where(lanes < kg.n_pad)[0]:
+        assert dst[e] == src[e] + 1 and lanes[e] == src[e]
+
+
+def test_fused_single_solve_matches_xla(small_problem):
+    prob = small_problem
+    e = prob.edges
+    kg = fused_rtr.build_kernel_graph(prob)
+    params = RTRParams(max_iterations=3, max_tcg_iterations=50,
+                       gradnorm_tol=0.5)
+    X = _noisy_state(prob)
+    mask = prob.block_mask(0, jnp.float32)
+    Pinv = quadratic.precond_inverse(quadratic.precond_blocks(e, prob.n))
+
+    X_ref, res_ref = rtr_solve(X, e, mask, Pinv, params)
+
+    Xt = fused_rtr.to_t(X, kg.n_pad)
+    Xt_new, stats = fused_rtr.rtr_solve_fused(
+        Xt,
+        fused_rtr.mask_to_row(mask, kg.n_pad),
+        fused_rtr.pinv_to_t(Pinv, kg.n_pad),
+        kg.weight_rows(e, e.weight),
+        kg,
+        params,
+        interpret=jax.default_backend() != "tpu",
+    )
+    s = np.asarray(stats)[0]
+    # identical telemetry (same TR decisions) to fp32/hi-lo tolerance
+    assert s[0] == pytest.approx(float(res_ref.f_init), rel=1e-4)
+    assert s[1] == pytest.approx(float(res_ref.f_opt), rel=1e-3)
+    assert s[2] == pytest.approx(float(res_ref.gradnorm_init), rel=1e-3)
+    assert int(s[4]) == int(res_ref.iterations)
+    X_f = fused_rtr.from_t(Xt_new, prob.n, prob.r, prob.d + 1)
+    X_f = jnp.where(mask > 0, X_f, X)
+    rel = float(
+        jnp.max(jnp.abs(X_f - X_ref)) / jnp.max(jnp.abs(X_ref))
+    )
+    assert rel < 1e-3
+    # block masking respected: only robot 0's block moved
+    moved = s[fused_rtr._S_MOVED:fused_rtr._S_MOVED + 2]
+    upd = s[fused_rtr._S_UPD:fused_rtr._S_UPD + 2]
+    assert moved[0] > 0 and moved[1] == 0
+    assert upd[0] == 1.0 and upd[1] == 0.0
+
+
+def test_fused_engine_run_matches_xla_engine(small_problem):
+    prob = small_problem
+    base = dict(
+        num_robots=2,
+        update_rule=UpdateRule.ROUND_ROBIN,
+        local_initialization_method=InitMethod.ODOMETRY,
+        relative_change_tolerance=0.0,
+        max_iteration_number=6,
+        dtype="float32",
+    )
+    outs = {}
+    for fused in (False, True):
+        eng = RBCDEngine(prob, AgentConfig(use_fused_kernel=fused, **base))
+        assert eng._use_fused == fused
+        st = eng.initialize()
+        outs[fused] = eng.make_fused_run(6)(st)
+    c_xla = float(outs[False].cost)
+    c_fus = float(outs[True].cost)
+    assert c_fus == pytest.approx(c_xla, rel=2e-3)
+    assert int(outs[True].iteration) == int(outs[False].iteration)
+
+
+def test_weight_rows_reproduce_cost(small_problem):
+    """Per-lane effective weights must reproduce quadratic.cost under
+    arbitrary (GNC-style) weights — the weight-round refresh path."""
+    prob = small_problem
+    e = prob.edges
+    kg = fused_rtr.build_kernel_graph(prob)
+    key = jax.random.PRNGKey(3)
+    w = jax.random.uniform(key, (e.num_edges,), jnp.float32)
+    e_w = quadratic.EdgeSet(
+        src=e.src, dst=e.dst, R=e.R, t=e.t, kappa=e.kappa, tau=e.tau,
+        weight=w, mask=e.mask, is_loop=e.is_loop, pull=e.pull,
+    )
+    X = _noisy_state(prob, key=7)
+    f_ref = float(quadratic.cost(X, e_w))
+
+    # a 0-iteration fused solve reports f0 under the given weight rows
+    params = RTRParams(max_iterations=0, max_tcg_iterations=1,
+                       gradnorm_tol=0.0)
+    Pinv = quadratic.precond_inverse(quadratic.precond_blocks(e_w, prob.n))
+    _, stats = fused_rtr.rtr_solve_fused(
+        fused_rtr.to_t(X, kg.n_pad),
+        fused_rtr.mask_to_row(prob.block_mask(0, jnp.float32), kg.n_pad),
+        fused_rtr.pinv_to_t(Pinv, kg.n_pad),
+        kg.weight_rows(e_w, w),
+        kg,
+        params,
+        interpret=jax.default_backend() != "tpu",
+    )
+    assert float(stats[0, 0]) == pytest.approx(f_ref, rel=1e-4)
