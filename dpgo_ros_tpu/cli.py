@@ -316,7 +316,20 @@ def main(argv=None) -> int:
         from dpgo_ros_tpu.parallel.controller import DistributedController
 
         ctl = DistributedController(data, cfg)
+        if a.resume:
+            rp = a.resume
+            if rp == "latest" and a.checkpoint_dir:
+                rp = a.checkpoint_dir
+            ctl.restore_checkpoint(rp)
+            print(f"fleet resumed warm-start caches from {rp}",
+                  file=sys.stderr)
         res = ctl.run()
+        if a.checkpoint_dir:
+            ctl.save_checkpoint(
+                a.checkpoint_dir, meta={"ticks": res["ticks"]}
+            )
+            print(f"fleet checkpoint written to {a.checkpoint_dir}",
+                  file=sys.stderr)
         T = ctl.global_trajectory(res)
         summary = {
             "mode": "fleet",
@@ -358,9 +371,36 @@ def main(argv=None) -> int:
         )
         mesh = Mesh(np.array(jax.devices()[: sp.M]), ("robots",))
         st, step = build_spmd_step(sp, mesh, cfg)
+        from dpgo_ros_tpu.utils import checkpoint as ckpt_mod
+
+        mgr = (
+            ckpt_mod.CheckpointManager(
+                a.checkpoint_dir, every=a.checkpoint_every
+            )
+            if a.checkpoint_dir
+            else None
+        )
+        it0 = 0
+        if a.resume:
+            rp = a.resume
+            if rp == "latest":
+                if mgr is None or mgr.latest() is None:
+                    print("error: --resume latest needs a --checkpoint_dir "
+                          "with checkpoints", file=sys.stderr)
+                    return 2
+                rp = mgr.latest()[1]
+            loaded, _, meta = ckpt_mod.load_state(rp, type(st))
+            # re-place host arrays onto the mesh with the live shardings
+            st = type(st)(*(
+                jax.device_put(np.asarray(l), x.sharding)
+                for l, x in zip(loaded, st)
+            ))
+            it0 = int(meta.get("it", 0))
+            print(f"spmd resumed from {rp} (iteration {it0})",
+                  file=sys.stderr)
         gnc = cfg.robust_cost_type == RobustCostType.GNC_TLS
         inner = cfg.robust_opt_inner_iters_per_robot * cfg.num_robots
-        for it in range(cfg.max_iteration_number):
+        for it in range(it0, cfg.max_iteration_number):
             # GNC weight rounds on the reference cadence
             wu = int(
                 gnc
@@ -370,6 +410,8 @@ def main(argv=None) -> int:
                 < cfg.robust_opt_num_weight_updates
             )
             st = step(np.int32(it), np.int32(wu), st)
+            if mgr is not None:
+                mgr.maybe_save(it + 1, st, None, meta={"it": it + 1})
             if it % 20 == 19:
                 rc = float(np.max(np.asarray(st.rel_change)))
                 if rc < cfg.relative_change_tolerance and (
@@ -378,6 +420,8 @@ def main(argv=None) -> int:
                     >= cfg.robust_opt_num_weight_updates
                 ):
                     break
+        if mgr is not None:
+            mgr.save(it + 1, st, None, meta={"it": it + 1, "final": True})
         Xg = gather_trajectory(sp, st, prob.num_poses)
         T = np.asarray(
             rounding.anchor_to_first_pose(
@@ -454,7 +498,9 @@ def main(argv=None) -> int:
         )
         with device_trace(a.profile_dir):
             if a.mode == "fused":
-                run = eng.make_fused_run(cfg.max_iteration_number)
+                # the engine's resolved config carries the derived GNC
+                # iteration budget (reference PGOAgentROSNode.cpp:227-232)
+                run = eng.make_fused_run(eng.config.max_iteration_number)
                 st = run(st)
                 info = {
                     "iterations": int(st.iteration),

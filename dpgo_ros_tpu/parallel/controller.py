@@ -99,6 +99,73 @@ class DistributedController:
         for a in self.agents:
             a.terminated = False
 
+    # ------------------------------------------------------------ persistence
+
+    def save_checkpoint(self, path: str, meta: Optional[Dict] = None) -> str:
+        """Durable fleet checkpoint: every agent's warm-start caches — the
+        exact state the reference retains across rounds in memory only
+        (cached optimized trajectory + GNC edge weights,
+        ``PGOAgentROS.cpp:354-361, 1072-1075``) — written to disk so a
+        killed/preempted fleet resumes its next round warm instead of cold.
+
+        Post-round caches are the protocol-consistent persistence boundary:
+        mid-round agent state is entangled with in-flight messages (the
+        reference cannot checkpoint there either — a timeout triggers
+        RECOVER, not resume).
+        """
+        import json as _json
+        import os as _os
+
+        _os.makedirs(path, exist_ok=True)
+        arrays: Dict[str, np.ndarray] = {}
+        weights = {}
+        for a in self.agents:
+            traj = getattr(a, "cached_trajectory", None)
+            if traj is None:
+                traj = getattr(a, "final_trajectory", None)
+            if traj is not None:
+                arrays[f"traj_{a.id}"] = np.asarray(traj)
+            cw = getattr(a, "cached_weights", None)
+            if cw:
+                weights[str(a.id)] = [
+                    [list(map(int, k)), float(v)] for k, v in cw.items()
+                ]
+        np.savez_compressed(_os.path.join(path, "fleet_caches.npz"), **arrays)
+        with open(_os.path.join(path, "fleet_meta.json"), "w") as f:
+            _json.dump(
+                {
+                    "num_robots": self.data.num_robots,
+                    "weights": weights,
+                    "meta": meta or {},
+                },
+                f,
+            )
+        return path
+
+    def restore_checkpoint(self, path: str) -> None:
+        """Load warm-start caches saved by :meth:`save_checkpoint` into the
+        fleet's agents (the durable analogue of the reference's in-memory
+        across-round warm start)."""
+        import json as _json
+        import os as _os
+
+        with np.load(_os.path.join(path, "fleet_caches.npz")) as z:
+            arrays = {k: z[k] for k in z.files}
+        with open(_os.path.join(path, "fleet_meta.json")) as f:
+            doc = _json.load(f)
+        if doc["num_robots"] != self.data.num_robots:
+            raise ValueError(
+                f"checkpoint has {doc['num_robots']} robots, fleet has "
+                f"{self.data.num_robots}"
+            )
+        for a in self.agents:
+            key = f"traj_{a.id}"
+            if key in arrays:
+                a.cached_trajectory = arrays[key]
+            cw = doc["weights"].get(str(a.id))
+            if cw:
+                a.cached_weights = {tuple(k): v for k, v in cw}
+
     def gnc_statistics(self, result: Dict) -> Optional[Dict]:
         """Fleet-wide GNC accept/reject/undecided statistics over *unique*
         loop closures (reference ``PoseGraph::statistics()``,

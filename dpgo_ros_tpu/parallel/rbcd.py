@@ -725,8 +725,12 @@ class RBCDEngine:
         GNC weight rounds under `lax.cond`) — the TPU-native hot path: zero
         host round-trips, one dispatch for the entire optimization.
 
-        Not covered here: ``robust_opt_num_resets`` re-initialization (host
-        concern; use ``run()``). Uniform update rule uses the on-device PRNG.
+        ``robust_opt_num_resets`` re-initialization runs on-device: after
+        each of the first ``num_resets`` weight updates the iterate resets to
+        the run's starting state (the reference's setXToInitialGuess
+        semantics — DPGO resets the trajectory to the initial guess after
+        early weight updates; wrapper param ``PGOAgentROSNode.cpp:213``).
+        Uniform update rule uses the on-device PRNG.
         """
         cfg = self.config
         prob = self.problem
@@ -735,13 +739,29 @@ class RBCDEngine:
         tol = cfg.relative_change_tolerance
         key0 = jax.random.PRNGKey(cfg.seed)
 
-        def do_iter(carry):
+        def make_do_iter(X_init):
+          def do_iter(carry):
             st, cache = carry
             i = st.iteration
             if gnc:
                 def wu(args):
                     s, _ = args
                     s2 = self._weight_update_impl(s)
+                    if cfg.robust_opt_num_resets > 0:
+                        # reset-to-initial-guess after early weight updates
+                        do_reset = (
+                            s2.weight_update_count
+                            <= cfg.robust_opt_num_resets
+                        )
+                        Xr = jnp.where(do_reset, X_init, s2.X)
+                        s2 = s2._replace(
+                            X=Xr,
+                            X_prev=Xr,
+                            V=Xr,
+                            cost=quadratic.cost(
+                                Xr, self._edges(s2.weights)
+                            ),
+                        )
                     # weights changed → refresh the cached solver constants
                     return s2, self._solver_cache(self._edges(s2.weights))
 
@@ -767,6 +787,7 @@ class RBCDEngine:
                 )
                 st2, _ = self._step_sequential_impl(st, k, cache)
             return st2, cache
+          return do_iter
 
         def cond_fn(carry):
             st, _ = carry
@@ -780,7 +801,9 @@ class RBCDEngine:
         @jax.jit
         def run(st: RBCDState) -> RBCDState:
             cache = self._solver_cache(self._edges(st.weights))
-            out, _ = jax.lax.while_loop(cond_fn, do_iter, (st, cache))
+            out, _ = jax.lax.while_loop(
+                cond_fn, make_do_iter(st.X), (st, cache)
+            )
             return out
 
         return run

@@ -151,3 +151,73 @@ def test_phase_timer(tmp_path):
     pt.dump(str(tmp_path / "phases.json"))
     with device_trace(None):  # no-op path
         pass
+
+
+def test_cli_spmd_checkpoint_resume_bitexact(tmp_path, capsys):
+    """SPMD-mode persistence (VERDICT r1 #8): interrupt at 20, resume to 40,
+    final cost must equal the uninterrupted 40-iteration run bit-exactly."""
+    from dpgo_ros_tpu.cli import main
+
+    base = [
+        "--dataset", "tinyGrid3D", "--num_robots", "2", "--mode", "spmd",
+        "--platform", "cpu", "--relative_change_tolerance", "0",
+    ]
+
+    def run(args):
+        assert main(base + args) == 0
+        out = [
+            l for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")
+        ][-1]
+        import json as _json
+
+        return _json.loads(out)
+
+    full = run(["--max_iteration_number", "24"])
+    cdir = str(tmp_path / "sck")
+    run(["--max_iteration_number", "12", "--checkpoint_dir", cdir,
+         "--checkpoint_every", "12"])
+    resumed = run(["--max_iteration_number", "24", "--checkpoint_dir", cdir,
+                   "--resume", "latest"])
+    assert resumed["final_cost"] == full["final_cost"]
+    assert resumed["iterations"] == full["iterations"]
+
+
+def test_fleet_checkpoint_warm_resume(tmp_path):
+    """Fleet-mode persistence: warm-start caches (the reference's in-memory
+    across-round state, PGOAgentROS.cpp:354-361,1072-1075) survive a process
+    death — a restored fleet starts its round from the optimized trajectory
+    and converges in no more iterations than the cold run."""
+    from dpgo_ros_tpu.io.datasets import load_g2o_dataset
+    from dpgo_ros_tpu.parallel.controller import DistributedController
+
+    data = load_g2o_dataset("tinyGrid3D", num_robots=2)
+    cfg = AgentConfig(
+        num_robots=2,
+        update_rule=UpdateRule.ROUND_ROBIN,
+        local_initialization_method=InitMethod.ODOMETRY,
+        relative_change_tolerance=0.1,
+        dtype="float32",
+    )
+    ctl = DistributedController(data, cfg)
+    res_cold = ctl.run()
+    ckpt_path = str(tmp_path / "fleet")
+    ctl.save_checkpoint(ckpt_path, meta={"round": 1})
+
+    # a FRESH controller (new process analogue) restores the caches
+    ctl2 = DistributedController(data, cfg)
+    ctl2.restore_checkpoint(ckpt_path)
+    for a in ctl2.agents:
+        assert a.cached_trajectory is not None
+    # the restored caches are exactly what the first fleet saved
+    for a, b in zip(ctl.agents, ctl2.agents):
+        np.testing.assert_array_equal(
+            np.asarray(a.cached_trajectory), np.asarray(b.cached_trajectory)
+        )
+    res_warm = ctl2.run()
+    assert all(res_warm["terminated"])
+    # warm start may differ by an iteration on a tiny graph, but must not
+    # regress to a cold-start-scale solve
+    cold_iters = sum(res_cold["iterations"].values())
+    warm_iters = sum(res_warm["iterations"].values())
+    assert warm_iters <= cold_iters + 1
