@@ -140,6 +140,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--inter_update_sleep_time", type=float, default=0.0)
     p.add_argument("--weight_convergence_threshold", type=float, default=-1.0)
     p.add_argument("--max_delayed_iterations", type=int, default=3)
+    p.add_argument(
+        "--asapp_stepsize_decay_ticks",
+        type=int,
+        default=0,
+        help="ASAPP O(1/t) stepsize decay time constant (0 = reference "
+        "constant-rate behavior)",
+    )
     p.add_argument("--timeout_threshold", type=float, default=15.0)
     p.add_argument("--verbose", type=_bool, default=False)
     p.add_argument("--dtype", choices=["float32", "float64"], default="float32")
@@ -204,6 +211,7 @@ def args_to_config(a):
         inter_update_sleep_time=a.inter_update_sleep_time,
         weight_convergence_threshold=a.weight_convergence_threshold,
         max_delayed_iterations=a.max_delayed_iterations,
+        asapp_stepsize_decay_ticks=a.asapp_stepsize_decay_ticks,
         timeout_threshold=a.timeout_threshold,
         log_directory=a.log_directory,
         verbose=a.verbose,

@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dpgo_ros_tpu.models.local_solvers import RGDParams, rgd_step
+from dpgo_ros_tpu.models.local_solvers import RGDParams
 from dpgo_ros_tpu.models.problem import LiftedProblem
 from dpgo_ros_tpu.ops import quadratic, stiefel
 from dpgo_ros_tpu.utils.config import AgentConfig
@@ -99,6 +99,22 @@ class ASAPPEngine:
             ),
         )
 
+    def _stepsize_at(self, tick):
+        """γ_t: constant, or O(1/t)-decayed when ``asapp_stepsize_decay_ticks``
+        is set. A constant stepsize under bounded staleness converges to a
+        noise ball around the optimum whose radius scales with γ·K (delayed
+        gradients act as bounded-bias noise); the classic stochastic-
+        approximation remedy γ_t = γ₀·T₀/(T₀+t) drives the ball to zero
+        while Σγ_t = ∞ keeps global reach. The reference's fixed-rate local
+        loop has the same plateau (ASAPP, Tian et al. RA-L 2020, guarantees
+        criticality for *sufficiently small* constant γ only)."""
+        T0 = float(getattr(self.config, "asapp_stepsize_decay_ticks", 0) or 0)
+        g0 = self.rgd.stepsize
+        if T0 <= 0:
+            return jnp.asarray(g0, self.dtype)
+        t = tick.astype(self.dtype)
+        return jnp.asarray(g0, self.dtype) * T0 / (T0 + t)
+
     def _tick_impl(self, st: ASAPPState) -> ASAPPState:
         prob = self.problem
         R = prob.num_robots
@@ -106,6 +122,7 @@ class ASAPPEngine:
         delays = jax.random.randint(sub, (R,), 0, self.K + 1)
         e = prob.edges
         P = self._Pinv
+        gamma = self._stepsize_at(st.tick)
 
         def one_robot(mask, delay):
             # robot's view: own block fresh, neighbors delayed; the local
@@ -115,7 +132,12 @@ class ASAPPEngine:
             Z = jnp.where(mask > 0, st.X, stale)
 
             def body(_, Zc):
-                return rgd_step(Zc, e, mask, P, self.rgd)
+                g = mask * quadratic.rgrad(Zc, e)
+                if self.rgd.use_preconditioner and P is not None:
+                    g = mask * stiefel.proj_tangent(
+                        Zc, quadratic.precond_apply(P, g)
+                    )
+                return stiefel.retract_polar_ns(Zc, -gamma * g)
 
             return jax.lax.fori_loop(0, self.steps_per_tick, body, Z)
 

@@ -167,6 +167,11 @@ class AgentConfig:
     # framework extras (TPU build)
     dtype: str = "float64"  # "float32" on TPU
     seed: int = 42
+    # ASAPP stepsize decay time-constant T0 (ticks): stepsize_t =
+    # RGD_stepsize * T0/(T0+t). 0 disables (reference constant-rate
+    # behavior). Kills the bounded-staleness noise ball on ill-conditioned
+    # graphs (parking-garage) — see parallel/asapp.py.
+    asapp_stepsize_decay_ticks: int = 0
     # single-Pallas-kernel RTR block solve (ops/fused_rtr.py): None = auto
     # (enabled on a TPU backend with fp32 + RTR); False forces the XLA path;
     # True forces the kernel (interpreter mode off-TPU — tests only)
