@@ -541,6 +541,34 @@ def gather_weights(
     return out
 
 
+def gather_state(st: SpmdState) -> SpmdState:
+    """Full host copy of a (possibly multi-process) sharded SpmdState —
+    every process returns identical replicated arrays (DCN all-gather for
+    non-addressable shards). The durable-checkpoint path for multi-host
+    runs: any process can persist the full state; on restart every process
+    loads the same file and re-places shards onto its mesh."""
+
+    def g(x):
+        if x.is_fully_addressable:
+            return np.asarray(x)
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+    return SpmdState(*(g(x) for x in st))
+
+
+def place_state(st_host: SpmdState, like: SpmdState) -> SpmdState:
+    """Re-place a host-replicated state onto the live mesh with ``like``'s
+    shardings (the resume side of :func:`gather_state`)."""
+    import jax
+
+    return SpmdState(*(
+        jax.device_put(np.asarray(h), x.sharding)
+        for h, x in zip(st_host, like)
+    ))
+
+
 def gather_trajectory(sp: ShardedProblem, st: SpmdState, num_poses) -> np.ndarray:
     """Reassemble the global lifted state (n, r, d+1) from shards.
 

@@ -34,6 +34,10 @@ def main() -> None:
     ap.add_argument("--dataset", default="smallGrid3D")
     ap.add_argument("--steps", type=int, default=24)
     ap.add_argument("--rank", type=int, default=5)
+    ap.add_argument("--checkpoint_dir", default=None,
+                    help="save the final full state here (process 0 writes)")
+    ap.add_argument("--resume", default=None,
+                    help="checkpoint dir to resume from (all processes read)")
     a = ap.parse_args()
 
     multihost.initialize(
@@ -92,11 +96,30 @@ def main() -> None:
     mesh = multihost.global_mesh()
     st, step = build_spmd_step(sp, mesh, cfg)
 
+    from dpgo_ros_tpu.parallel.spmd import gather_state, place_state
+    from dpgo_ros_tpu.utils import checkpoint as ckpt
+
+    it0 = 0
+    if a.resume:
+        loaded, _, meta = ckpt.load_state(a.resume, type(st))
+        st = place_state(loaded, st)
+        it0 = int(meta.get("it", 0))
+        print(f"# proc {jax.process_index()}: resumed from {a.resume} "
+              f"(it {it0})", file=sys.stderr, flush=True)
+
     t0 = time.time()
-    for it in range(a.steps):
+    for it in range(it0, a.steps):
         st = step(np.int32(it), np.int32(0), st)
     jax.block_until_ready(st.X)
     elapsed = time.time() - t0
+
+    if a.checkpoint_dir:
+        host_state = gather_state(st)  # collective: all processes join
+        if jax.process_index() == 0:
+            ckpt.save_state(a.checkpoint_dir, host_state,
+                            meta={"it": a.steps})
+            print(f"# checkpoint written to {a.checkpoint_dir}",
+                  file=sys.stderr, flush=True)
 
     Xg = gather_trajectory(sp, st, prob.num_poses)
     f_final = float(quadratic.cost(jnp.asarray(Xg), e_full))

@@ -157,9 +157,15 @@ for name, sweep, ticks in (
     RESULTS[f"{name}_5robot_asapp"] = best
     log(f"{name}_5robot_asapp best: {best}")
 
-# 5 — tunnels 8-robot GNC (reference dpgo_gnc_demo config + adaptive schedule)
+# 5 — tunnels 8-robot GNC, two configs:
+# (a) reference dpgo_gnc_demo parity (RoundRobin, 50 inner, 3 resets) — like
+#     the reference, this exhausts its 1,598-iteration budget without
+#     meeting the rel-change tolerance (the post-reset tail of 398 RoundRobin
+#     iterations cannot re-converge from odometry init);
+# (b) the TPU-native configuration (colored-parallel rule, no resets,
+#     30 inner) — converges inside the same reference budget.
 solve(
-    "tunnels_8robot_gnc",
+    "tunnels_8robot_gnc_reference_demo",
     load_tunnels(),
     AgentConfig(
         num_robots=8,
@@ -169,8 +175,25 @@ solve(
         GNC_use_probability=False,
         GNC_barc=3.0,
         robust_opt_num_weight_updates=3,
-        robust_opt_num_resets=1,
+        robust_opt_num_resets=3,
         robust_opt_inner_iters_per_robot=50,
+        relative_change_tolerance=0.2,
+        RTR_gradnorm_tol=0.5,
+    ),
+)
+solve(
+    "tunnels_8robot_gnc",
+    load_tunnels(),
+    AgentConfig(
+        num_robots=8,
+        update_rule=UpdateRule.PARALLEL,
+        local_initialization_method=InitMethod.ODOMETRY,
+        robust_cost_type=RobustCostType.GNC_TLS,
+        GNC_use_probability=False,
+        GNC_barc=3.0,
+        robust_opt_num_weight_updates=3,
+        robust_opt_num_resets=0,
+        robust_opt_inner_iters_per_robot=30,
         relative_change_tolerance=0.2,
         RTR_gradnorm_tol=0.5,
     ),
