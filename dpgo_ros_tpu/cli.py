@@ -221,8 +221,24 @@ def args_to_config(a):
     )
 
 
-def apply_demo(a) -> None:
-    """Apply a demo preset (reference launch files, SURVEY.md §6)."""
+def apply_demo(a, parser=None) -> None:
+    """Apply a demo preset (reference launch files, SURVEY.md §6).
+
+    Explicit command-line flags win over the preset: a preset value is only
+    applied where the current value still equals the parser default."""
+    if parser is not None:
+        target = a
+        defaults = {k: parser.get_default(k) for k in vars(target)}
+
+        class _Guard:
+            def __setattr__(self, k, v):
+                if getattr(target, k) == defaults.get(k):
+                    setattr(target, k, v)
+
+            def __getattr__(self, k):
+                return getattr(target, k)
+
+        a = _Guard()
     if a.demo == "dpgo_demo":
         a.dataset = a.dataset or "sphere2500"
         a.num_robots = 5
@@ -255,15 +271,30 @@ def apply_demo(a) -> None:
 
 
 def main(argv=None) -> int:
-    a = build_parser().parse_args(argv)
+    parser = build_parser()
+    a = parser.parse_args(argv)
     if a.demo:
-        apply_demo(a)
+        apply_demo(a, parser)
 
     if a.platform == "cpu":
         from dpgo_ros_tpu.utils.hostenv import ensure_cpu_devices
 
         ensure_cpu_devices(a.cpu_devices)
     import jax
+
+    # persistent XLA compile cache (platform-specific: cache entries are
+    # machine-code AOT results; the remote-TPU compile service is slow —
+    # a cold tunnels-GNC fused program costs minutes, a warm one nothing)
+    import os as _os
+
+    _cache = (
+        "/tmp/jax_cache_cpu"
+        if jax.default_backend() == "cpu"
+        else "/tmp/jax_cache_tpu"
+    )
+    _os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 
     from dpgo_ros_tpu.io.csv_loader import load_multi_robot_csv

@@ -127,9 +127,16 @@ class KernelGraph:
     chain_lane_of_edge: np.ndarray  # (E_pad,) int32; n_pad = dump slot
     loop_slot_of_edge: np.ndarray  # (E_pad,) int32; E_loop_pad = dump slot
 
+    # inverse maps (each chain lane / loop slot is claimed by ≤1 edge):
+    # gather-based weight refresh — kwc = kw[edge_of_lane] — instead of a
+    # scatter (scatters serialize on TPU; this runs per-step on the SPMD path)
+    chain_edge_of_lane: np.ndarray = None  # (n_pad,) int32; E_pad = none
+    loop_edge_of_slot: np.ndarray = None  # (E_loop_pad,) int32
+
     @staticmethod
     def build(edges: EdgeSet, n: int, num_robots: int,
-              offsets, num_poses) -> "KernelGraph":
+              offsets, num_poses, n_pad: Optional[int] = None,
+              e_loop_pad: Optional[int] = None) -> "KernelGraph":
         src = np.asarray(edges.src)
         dst = np.asarray(edges.dst)
         R = np.asarray(edges.R, np.float32)
@@ -138,7 +145,8 @@ class KernelGraph:
         E_pad = src.shape[0]
         d = R.shape[-1]
         r = None  # set by caller via problem; not needed here
-        n_pad = max(_rup(n, 256), 256)
+        n_pad = n_pad or max(_rup(n, 256), 256)
+        assert n_pad >= n and n_pad % 256 == 0
 
         chain_lane = np.full((E_pad,), n_pad, np.int32)
         claimed = np.zeros((n_pad,), bool)
@@ -153,7 +161,8 @@ class KernelGraph:
             else:
                 loop_edges.append(e)
         E_loop = len(loop_edges)
-        E_loop_pad = max(_rup(E_loop, CHUNK // 2), CHUNK // 2)
+        E_loop_pad = e_loop_pad or max(_rup(E_loop, CHUNK // 2), CHUNK // 2)
+        assert E_loop_pad >= E_loop and E_loop_pad % (CHUNK // 2) == 0
 
         chain_R = np.zeros((d * d, n_pad), np.float32)
         chain_R[:: d + 1, :] = 1.0  # identity on empty lanes (harmless, w=0)
@@ -180,6 +189,14 @@ class KernelGraph:
                     loop_R[k * d + b, slot] = R[e, k, b]
                 loop_t[k, slot] = t[e, k]
 
+        chain_edge_of_lane = np.full((n_pad,), E_pad, np.int32)
+        for e in range(E_pad):
+            if chain_lane[e] < n_pad:
+                chain_edge_of_lane[chain_lane[e]] = e
+        loop_edge_of_slot = np.full((E_loop_pad,), E_pad, np.int32)
+        for slot, e in enumerate(loop_edges):
+            loop_edge_of_slot[slot] = e
+
         return KernelGraph(
             n=n,
             n_pad=n_pad,
@@ -197,6 +214,8 @@ class KernelGraph:
             loop_t=loop_t,
             chain_lane_of_edge=chain_lane,
             loop_slot_of_edge=loop_slot,
+            chain_edge_of_lane=chain_edge_of_lane,
+            loop_edge_of_slot=loop_edge_of_slot,
         )
 
     def with_rank(self, r: int) -> "KernelGraph":
@@ -222,6 +241,14 @@ class KernelGraph:
         twl = jnp.zeros((self.E_loop_pad + 1,), jnp.float32).at[ll].add(tw)[
             : self.E_loop_pad][None, :]
         return kwc, twc, kwl, twl
+
+    def weight_rows_arrays(self):
+        """The (chain_edge_of_lane, loop_edge_of_slot) inverse maps as device
+        arrays — see :func:`weight_rows_gather`."""
+        return (
+            jnp.asarray(self.chain_edge_of_lane),
+            jnp.asarray(self.loop_edge_of_slot),
+        )
 
     def constants(self):
         """Static device constants (chain/loop geometry + indices)."""
@@ -653,6 +680,7 @@ def rtr_solve_fused(
     kg: KernelGraph,
     params,
     interpret: bool = False,
+    consts=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One full RTR block solve as a single Pallas kernel.
 
@@ -679,6 +707,32 @@ def rtr_solve_fused(
         float(params.tcg_theta),
         interpret,
     )
-    idx2, Rc, tc, Rl, tl = kg.constants()
+    idx2, Rc, tc, Rl, tl = consts if consts is not None else kg.constants()
     kwc, twc, kwl, twl = wrows
     return fk(Xt, mask_row, pinv_t, kwc, twc, kwl, twl, idx2, Rc, tc, Rl, tl)
+
+
+def weight_rows_gather(
+    kappa: jnp.ndarray,
+    tau: jnp.ndarray,
+    emask: jnp.ndarray,
+    weights: jnp.ndarray,
+    chain_edge_of_lane: jnp.ndarray,
+    loop_edge_of_slot: jnp.ndarray,
+):
+    """Per-lane effective-weight rows via GATHERS over the inverse lane maps
+    (each lane/slot is claimed by at most one edge) — cheap enough to run
+    every step inside the SPMD shard_map program, unlike the scatter-based
+    :meth:`KernelGraph.weight_rows`.
+
+    All edge arrays are (E_pad,); out-of-range map entries (== E_pad) read a
+    appended zero. Returns (kwc, twc, kwl, twl) fp32 rows.
+    """
+    w = (weights * emask).astype(jnp.float32)
+    kw = jnp.append(w * kappa.astype(jnp.float32), 0.0)
+    tw = jnp.append(w * tau.astype(jnp.float32), 0.0)
+    kwc = kw[chain_edge_of_lane][None, :]
+    twc = tw[chain_edge_of_lane][None, :]
+    kwl = kw[loop_edge_of_slot][None, :]
+    twl = tw[loop_edge_of_slot][None, :]
+    return kwc, twc, kwl, twl

@@ -72,11 +72,17 @@ class ASAPPEngine:
         self.steps_per_tick = max(
             1, int(round(self.config.asynchronous_rate / 100.0))
         )
-        masks = [
-            problem.block_mask(k, self.dtype)
-            for k in range(problem.num_robots)
-        ]
-        self._masks = jnp.stack(masks, axis=0)  # (R, n, 1, 1)
+        rof = np.asarray(problem.robot_of_pose)
+        np_dt = np.float64 if self.dtype == jnp.float64 else np.float32
+        self._masks = jnp.asarray(
+            np.stack(
+                [
+                    (rof == k).astype(np_dt)[:, None, None]
+                    for k in range(problem.num_robots)
+                ],
+                axis=0,
+            )
+        )  # (R, n, 1, 1)
         # robust weights are FIXED during an async run (no UPDATE_WEIGHT
         # rounds in the reference async mode) → the block-Jacobi inverse is
         # computed once, not per tick

@@ -93,29 +93,39 @@ class RBCDEngine:
             stepsize=cfg.RGD_stepsize,
             use_preconditioner=cfg.RGD_use_preconditioner,
         )
-        # (num_robots, n, 1, 1) stack of block masks
-        masks = [
-            problem.block_mask(k, self.dtype)
-            for k in range(problem.num_robots)
-        ]
-        self._masks = jnp.stack(masks, axis=0)
+        # (num_robots, n, 1, 1) stack of block masks — built in numpy and
+        # transferred once (per-robot device ops would each pay the remote
+        # dispatch/compile cost on a tunneled TPU runtime)
+        rof = np.asarray(problem.robot_of_pose)
+        np_dt = np.float64 if self.dtype == jnp.float64 else np.float32
+        masks_np = np.stack(
+            [
+                (rof == k).astype(np_dt)[:, None, None]
+                for k in range(problem.num_robots)
+            ],
+            axis=0,
+        )
+        self._masks = jnp.asarray(masks_np)
         self._all_mask = jnp.ones_like(self._masks[0])
         # greedy coloring of the robot adjacency graph for the Parallel rule
         self.robot_colors = self._color_robots()
         self.num_colors = int(self.robot_colors.max()) + 1
-        color_masks = [
-            jnp.clip(
-                sum(
-                    masks[k]
-                    for k in range(problem.num_robots)
-                    if self.robot_colors[k] == c
-                ),
-                0.0,
-                1.0,
-            )
-            for c in range(self.num_colors)
-        ]
-        self._color_masks = jnp.stack(color_masks, axis=0)
+        color_masks_np = np.stack(
+            [
+                np.clip(
+                    sum(
+                        masks_np[k]
+                        for k in range(problem.num_robots)
+                        if self.robot_colors[k] == c
+                    ),
+                    0.0,
+                    1.0,
+                )
+                for c in range(self.num_colors)
+            ],
+            axis=0,
+        )
+        self._color_masks = jnp.asarray(color_masks_np)
         self.Ylift: Optional[jnp.ndarray] = None
 
         # single-Pallas-kernel RTR solve (ops/fused_rtr.py): collapses a full
@@ -318,16 +328,23 @@ class RBCDEngine:
         """Build the initial lifted state: local init per robot → frame
         alignment → anchor → lift through a shared sampled YLift
         (reference lifting-matrix broadcast, ``PGOAgentROS.cpp:402-410``)."""
+        from dpgo_ros_tpu.utils.hostenv import host_compute
+
         prob, cfg = self.problem, self.config
         key = key if key is not None else jax.random.PRNGKey(cfg.seed)
         if trajectory is None:
-            locals_ = [
-                self._local_subgraph_traj(k) for k in range(prob.num_robots)
-            ]
-            if cfg.multirobot_initialization and prob.num_robots > 1:
-                T = self._align_robot_frames(locals_)
-            else:
-                T = np.concatenate(locals_, axis=0)
+            # initialization is many tiny distinct-shape programs (per-robot
+            # odometry chains / chordal solves / SE(3) composes) — run them
+            # on the local CPU backend (see hostenv.host_compute)
+            with host_compute():
+                locals_ = [
+                    self._local_subgraph_traj(k)
+                    for k in range(prob.num_robots)
+                ]
+                if cfg.multirobot_initialization and prob.num_robots > 1:
+                    T = self._align_robot_frames(locals_)
+                else:
+                    T = np.concatenate(locals_, axis=0)
         else:
             T = np.asarray(trajectory)
         T = rounding.anchor_to_first_pose(jnp.asarray(T, self.dtype))

@@ -290,6 +290,63 @@ def build_spmd_step(
     M, n_max = sp.M, sp.n_max
     gnc = cfg.robust_cost_type == RobustCostType.GNC_TLS
 
+    # --- fused single-Pallas-kernel local solve (ops/fused_rtr.py) --------
+    # Per-device KernelGraphs over the GLOBAL gathered pose space share one
+    # static shape (common n_pad / E_loop_pad), so the same kernel program
+    # runs on every mesh slot with its device's chain/loop arrays as sharded
+    # constants — the multi-chip analogue of the engine's fused path.
+    from dpgo_ros_tpu.ops import fused_rtr
+
+    auto_fused = (
+        sp.X0.dtype == np.float32 and jax.default_backend() == "tpu"
+    )
+    use_fused = (
+        cfg.use_fused_kernel
+        if cfg.use_fused_kernel is not None
+        else auto_fused
+    ) and sp.X0.dtype == np.float32
+    interp_fused = jax.default_backend() != "tpu"
+    kg_consts = {}
+    kg0 = None
+    if use_fused:
+        n_pad = max((M * n_max + 255) // 256 * 256, 256)
+        kgs = []
+        for m in range(M):
+            e_m = EdgeSet(
+                src=sp.src[m], dst=sp.dst[m], R=sp.R[m], t=sp.t[m],
+                kappa=sp.kappa[m], tau=sp.tau[m],
+                weight=sp.weight[m], mask=sp.mask[m],
+                is_loop=sp.is_loop[m],
+            )
+            kgs.append(fused_rtr.KernelGraph.build(
+                e_m, M * n_max, 0, (), (), n_pad=n_pad))
+        elp = max(
+            max(k.E_loop_pad for k in kgs), fused_rtr.CHUNK // 2
+        )
+        if any(k.E_loop_pad != elp for k in kgs):
+            kgs = [
+                fused_rtr.KernelGraph.build(
+                    EdgeSet(
+                        src=sp.src[m], dst=sp.dst[m], R=sp.R[m], t=sp.t[m],
+                        kappa=sp.kappa[m], tau=sp.tau[m],
+                        weight=sp.weight[m], mask=sp.mask[m],
+                        is_loop=sp.is_loop[m],
+                    ),
+                    M * n_max, 0, (), (), n_pad=n_pad, e_loop_pad=elp,
+                )
+                for m in range(M)
+            ]
+        kg0 = kgs[0].with_rank(sp.r)
+        kg_consts = {
+            "kg_idx2": np.stack([k.loop_idx2 for k in kgs]),
+            "kg_cR": np.stack([k.chain_R for k in kgs]),
+            "kg_ct": np.stack([k.chain_t for k in kgs]),
+            "kg_lR": np.stack([k.loop_R for k in kgs]),
+            "kg_lt": np.stack([k.loop_t for k in kgs]),
+            "kg_cel": np.stack([k.chain_edge_of_lane for k in kgs]),
+            "kg_les": np.stack([k.loop_edge_of_slot for k in kgs]),
+        }
+
     # Static per-device tensors, device_put as *global* sharded arrays and
     # passed as jit arguments (NOT closed over: closing over an array that
     # spans non-addressable devices is an error on a multi-host mesh — every
@@ -308,6 +365,7 @@ def build_spmd_step(
             is_loop=sp.is_loop,
             pose_valid=sp.pose_valid,
             color=sp.color,
+            **kg_consts,
         ).items()
     }
 
@@ -349,6 +407,30 @@ def build_spmd_step(
             quadratic.precond_blocks(e, M * n_max)
         )
 
+        def local_solve(Xfull):
+            """Masked RTR on the gathered state: fused Pallas kernel when
+            enabled, XLA ops otherwise."""
+            if not use_fused:
+                Z, _ = rtr_solve(Xfull, e, mask, P_blocks, rtr)
+                return Z
+            Xt = fused_rtr.to_t(Xfull, kg0.n_pad)
+            mrow = fused_rtr.mask_to_row(mask, kg0.n_pad)
+            pinvT = fused_rtr.pinv_to_t(P_blocks, kg0.n_pad)
+            wrows = fused_rtr.weight_rows_gather(
+                e.kappa, e.tau, e.mask, e.weight,
+                c["kg_cel"][0], c["kg_les"][0],
+            )
+            Xt_new, _ = fused_rtr.rtr_solve_fused(
+                Xt, mrow, pinvT, wrows, kg0, rtr,
+                interpret=interp_fused,
+                consts=(
+                    c["kg_idx2"][0], c["kg_cR"][0], c["kg_ct"][0],
+                    c["kg_lR"][0], c["kg_lt"][0],
+                ),
+            )
+            Z = fused_rtr.from_t(Xt_new, M * n_max, sp.r, sp.d + 1)
+            return jnp.where(mask > 0, Z, Xfull)
+
         if cfg.acceleration:
             # Accelerated RBCD: solve the block against the *auxiliary*
             # gathered state Vg (see parallel/rbcd.py::_block_update for the
@@ -361,7 +443,7 @@ def build_spmd_step(
             else:
                 beta = (theta - 1.0) / theta_new
             f_cur = quadratic.cost(Xg, e)
-            Z, _ = rtr_solve(Vg, e, mask, P_blocks, rtr)
+            Z = local_solve(Vg)
             X_acc = jnp.where(mask > 0, Z, Xg)
             f_acc = quadratic.cost(X_acc, e)
 
@@ -380,7 +462,7 @@ def build_spmd_step(
                 return X_acc, V_new, theta_new
 
             def restart():
-                X_r, _ = rtr_solve(Xg, e, mask, P_blocks, rtr)
+                X_r = local_solve(Xg)
                 return X_r, X_r, jnp.asarray(1.0, theta.dtype)
 
             X_new, V_full, theta_out = jax.lax.cond(
@@ -397,7 +479,7 @@ def build_spmd_step(
                 st.V[0],
             )
         else:
-            X_new, _ = rtr_solve(Xg, e, mask, P_blocks, rtr)
+            X_new = local_solve(Xg)
             theta_out = st.theta[0, 0]
             V_own_new = None  # set below to own new block
 

@@ -25,3 +25,28 @@ def ensure_cpu_devices(num_devices: int = 8) -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+
+def host_compute():
+    """Context manager routing small host-prep JAX programs to the local CPU
+    backend.
+
+    On this class of deployment the TPU is reached through a remote
+    compile/dispatch service where even a trivial program costs tens of
+    seconds to first-compile; initialization helpers (per-robot odometry
+    chains, frame alignment) are many tiny distinct-shape programs, which
+    made engine setup ~10x slower than the solve itself. Local CPU compiles
+    are milliseconds. No-op when the default backend is already CPU or no
+    CPU backend exists.
+    """
+    import contextlib
+
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return contextlib.nullcontext()
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except Exception:
+        return contextlib.nullcontext()
+    return jax.default_device(cpu)

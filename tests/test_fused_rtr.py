@@ -138,3 +138,55 @@ def test_weight_rows_reproduce_cost(small_problem):
         interpret=jax.default_backend() != "tpu",
     )
     assert float(stats[0, 0]) == pytest.approx(f_ref, rel=1e-4)
+
+
+def test_spmd_fused_kernel_matches_xla_mesh():
+    """The fused kernel inside the shard_map program (per-device KernelGraph
+    constants) tracks the XLA spmd path on a virtual 4-device mesh."""
+    from jax.sharding import Mesh
+
+    from dpgo_ros_tpu.parallel.spmd import (
+        ShardedProblem,
+        build_spmd_step,
+        gather_trajectory,
+    )
+
+    data = load_g2o_dataset("smallGrid3D", num_robots=4)
+    prob = LiftedProblem.from_data(data, r=5, dtype=jnp.float32)
+    outs = {}
+    for fused in (False, True):
+        cfg = AgentConfig(
+            num_robots=4,
+            update_rule=UpdateRule.PARALLEL,
+            local_initialization_method=InitMethod.ODOMETRY,
+            RTR_gradnorm_tol=0.5,
+            dtype="float32",
+            use_fused_kernel=fused,
+        )
+        eng = RBCDEngine(prob, cfg)
+        st0 = eng.initialize()
+        sp = ShardedProblem.build(
+            prob, np.asarray(st0.X, np.float32), eng.robot_colors,
+            num_devices=4,
+        )
+        mesh = Mesh(np.array(jax.devices()[:4]), ("robots",))
+        st, step = build_spmd_step(sp, mesh, cfg)
+        for it in range(8):
+            st = step(np.int32(it), np.int32(0), st)
+        Xg = gather_trajectory(sp, st, prob.num_poses)
+        outs[fused] = float(quadratic.cost(jnp.asarray(Xg), prob.edges))
+    assert outs[True] == pytest.approx(outs[False], rel=2e-3)
+
+
+def test_weight_rows_gather_matches_scatter(small_problem):
+    """The gather-based per-lane weight refresh (SPMD per-step path) equals
+    the scatter-based KernelGraph.weight_rows."""
+    prob = small_problem
+    e = prob.edges
+    kg = fused_rtr.build_kernel_graph(prob)
+    w = jax.random.uniform(jax.random.PRNGKey(5), (e.num_edges,), jnp.float32)
+    ref = kg.weight_rows(e, w)
+    cel, les = kg.weight_rows_arrays()
+    got = fused_rtr.weight_rows_gather(e.kappa, e.tau, e.mask, w, cel, les)
+    for a, b in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
