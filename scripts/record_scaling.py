@@ -75,7 +75,17 @@ def _save(d):
 
 def measure_spmd(num_robots: int, num_devices: int):
     """(ms/step, num_colors, separator-exchange bytes/step) for sphere2500."""
+    from dpgo_ros_tpu.parallel.spmd import group_robots
+
     data = load_g2o_dataset("sphere2500", num_robots=num_robots)
+    # separator volume is a property of the ROBOT partition (what a real
+    # num_robots-chip mesh would exchange), independent of how many mesh
+    # slots this host can time on
+    prob_full = LiftedProblem.from_data(data, r=5, dtype=jnp.float32)
+    n_sep = int(np.sum(np.asarray(prob_full.separator_mask(jnp.float32)) > 0))
+    if num_robots > num_devices:
+        data = group_robots(data, num_devices)
+        num_robots = num_devices
     prob = LiftedProblem.from_data(data, r=5, dtype=jnp.float32)
     cfg = AgentConfig(
         num_robots=num_robots,
@@ -102,7 +112,6 @@ def measure_spmd(num_robots: int, num_devices: int):
     # separator all_gather volume per step: every device contributes its
     # padded separator block; all_gather delivers (N-1)/N of the total to
     # each chip.
-    n_sep = int(np.sum(np.asarray(prob.separator_mask(jnp.float32)) > 0))
     state_bytes = prob.r * (prob.d + 1) * 4
     vol = n_sep * state_bytes  # one full separator set, fp32
     return dt, eng.num_colors, vol, n_sep
