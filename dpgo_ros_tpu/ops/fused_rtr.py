@@ -53,7 +53,7 @@ import numpy as np
 
 from dpgo_ros_tpu.ops.quadratic import EdgeSet
 
-CHUNK = 512  # one-hot matmul chunk width (lanes)
+CHUNK = 512  # one-hot matmul chunk width (lanes); 1024 exceeds the 16 MB VMEM
 _STATS_W = 128  # stats row width; layout below
 # stats layout: [0]=f0 [1]=f_opt [2]=gn0 [3]=gn_opt [4]=iters
 _S_MOVED = 8  # [8 : 8+R]   per-robot block Frobenius displacement
@@ -305,26 +305,21 @@ def _make_rtr_kernel(
     from jax.experimental.pallas import tpu as pltpu
 
     C = r * (d + 1)
-    E2 = 2 * E_loop_pad
-    n_chunks = E2 // CHUNK if E2 >= CHUNK else 0
-    tail = E2 - n_chunks * CHUNK  # 0 or 256 (E_loop_pad multiple of 256)
+    n_chunks_l = E_loop_pad // CHUNK
+    tail_l = E_loop_pad - n_chunks_l * CHUNK  # 0 or 256 (multiple of 256)
     EPS = 1e-30  # fp32-representable guard (XLA path uses 1e-300 in fp64)
 
     def kernel(
         xt_ref, mask_ref, pinv_ref, kwc_ref, twc_ref, kwl_ref, twl_ref,
         idx2_ref, Rc_ref, tc_ref, Rl_ref, tl_ref,
         xout_ref, stats_ref,
-        gat_ref, call_ref, acc_ref,
+        acc_ref,
     ):
         mask = mask_ref[:]  # (1, n_pad)
         Rc = Rc_ref[:]
         tc = tc_ref[:]
         kwc = kwc_ref[:]
         twc = twc_ref[:]
-        Rl = Rl_ref[:]
-        tl = tl_ref[:]
-        kwl = kwl_ref[:]
-        twl = twl_ref[:]
         Pt = pinv_ref[:]
 
         zcol = jnp.zeros((C, 1), jnp.float32)
@@ -334,57 +329,6 @@ def _make_rtr_kernel(
 
         def shift_right(A):  # lane i ← A[:, i-1]
             return jnp.concatenate([zcol, A[:, :-1]], axis=1)
-
-        # ---- one-hot gather/scatter over loop slots -----------------------
-        def gather_loop(T):
-            """T (C, n_pad) → (C, 2·E_loop_pad) endpoint rows [src | dst]."""
-            Thl = _hilo(T)
-
-            def chunk_at(off, width):
-                sl = idx2_ref[0, pl.ds(off, width)]
-                iota = jax.lax.broadcasted_iota(jnp.int32, (n_pad, width), 0)
-                oh = (iota == sl[None, :]).astype(jnp.bfloat16)
-                res = jax.lax.dot_general(
-                    Thl, oh, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                gat_ref[:, pl.ds(off, width)] = res[:C] + res[C:]
-
-            def gbody(c, _):
-                chunk_at(c * CHUNK, CHUNK)
-                return 0
-
-            if n_chunks:
-                jax.lax.fori_loop(0, n_chunks, gbody, 0)
-            if tail:
-                chunk_at(n_chunks * CHUNK, tail)
-            return gat_ref[:]
-
-        def scatter_loop(Ci, Cj):
-            """Σ_slots contributions → (C, n_pad) via transposed one-hots."""
-            call_ref[:] = _hilo(jnp.concatenate([Ci, Cj], axis=1))
-            acc_ref[:] = jnp.zeros((2 * C, n_pad), jnp.float32)
-
-            def chunk_at(off, width):
-                sl = idx2_ref[0, pl.ds(off, width)]
-                iota = jax.lax.broadcasted_iota(jnp.int32, (width, n_pad), 1)
-                oh = (iota == sl[:, None]).astype(jnp.bfloat16)
-                chunk = call_ref[:, pl.ds(off, width)]
-                acc_ref[:] += jax.lax.dot_general(
-                    chunk, oh, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-
-            def sbody(c, _):
-                chunk_at(c * CHUNK, CHUNK)
-                return 0
-
-            if n_chunks:
-                jax.lax.fori_loop(0, n_chunks, sbody, 0)
-            if tail:
-                chunk_at(n_chunks * CHUNK, tail)
-            A = acc_ref[:]
-            return A[:C] + A[C:]
 
         # ---- edge algebra (shared chain/loop; all row-wise VPU) -----------
         def edge_terms(Vi, Vj, Rv, tv, kw, tw):
@@ -418,6 +362,44 @@ def _make_rtr_kernel(
             Cj = jnp.concatenate(kr1 + [tr2], axis=0)
             return Ci, Cj
 
+        def loop_edges_apply(Thl, off, width, f):
+            """Fused gather → edge compute → scatter-add for one chunk of
+            loop slots. Each endpoint one-hot is built ONCE and used in both
+            matmul orientations — as the gather RHS (contract n_pad) and as
+            the scatter-add RHS (contract the chunk dim; an NT contraction,
+            no transpose materialized). One-hot construction is the kernel's
+            dominant VPU cost, so this halves it vs separate passes."""
+            s_idx = idx2_ref[0, pl.ds(off, width)]
+            d_idx = idx2_ref[0, pl.ds(E_loop_pad + off, width)]
+            iota = jax.lax.broadcasted_iota(jnp.int32, (n_pad, width), 0)
+            oh_s = (iota == s_idx[None, :]).astype(jnp.bfloat16)
+            oh_d = (iota == d_idx[None, :]).astype(jnp.bfloat16)
+            Vi2 = jax.lax.dot_general(
+                Thl, oh_s, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            Vj2 = jax.lax.dot_general(
+                Thl, oh_d, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            Vi = Vi2[:C] + Vi2[C:]
+            Vj = Vj2[:C] + Vj2[C:]
+            Rv = Rl_ref[:, pl.ds(off, width)]
+            tv = tl_ref[:, pl.ds(off, width)]
+            kw = kwl_ref[:, pl.ds(off, width)]
+            tw = twl_ref[:, pl.ds(off, width)]
+            kr1, tr2, fc = edge_terms(Vi, Vj, Rv, tv, kw, tw)
+            Ci, Cj = edge_contribs(kr1, tr2, Rv, tv)
+            acc_ref[:] += jax.lax.dot_general(
+                _hilo(Ci), oh_s, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_ref[:] += jax.lax.dot_general(
+                _hilo(Cj), oh_d, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return f + fc
+
         def egrad_and_cost(T):
             """(∇f(T), f(T)) over chain + loop edges — the Q operator."""
             Vi = T
@@ -425,15 +407,18 @@ def _make_rtr_kernel(
             kr1, tr2, f = edge_terms(Vi, Vj, Rc, tc, kwc, twc)
             Ci, Cj = edge_contribs(kr1, tr2, Rc, tc)
             G = Ci + shift_right(Cj)
-            if E_loop_pad > 0:
-                Gt = gather_loop(T)
-                Vi_l = Gt[:, :E_loop_pad]
-                Vj_l = Gt[:, E_loop_pad:]
-                kr1l, tr2l, fl = edge_terms(Vi_l, Vj_l, Rl, tl, kwl, twl)
-                Cil, Cjl = edge_contribs(kr1l, tr2l, Rl, tl)
-                G = G + scatter_loop(Cil, Cjl)
-                f = f + fl
-            return G, f
+            Thl = _hilo(T)
+            acc_ref[:] = jnp.zeros((2 * C, n_pad), jnp.float32)
+
+            def body(cidx, facc):
+                return loop_edges_apply(Thl, cidx * CHUNK, CHUNK, facc)
+
+            if n_chunks_l:
+                f = jax.lax.fori_loop(0, n_chunks_l, body, f)
+            if tail_l:
+                f = loop_edges_apply(Thl, n_chunks_l * CHUNK, tail_l, f)
+            A = acc_ref[:]
+            return G + A[:C] + A[C:], f
 
         # ---- manifold row algebra -----------------------------------------
         def rowsum(A):  # (rows, N) → (1, N)
@@ -664,8 +649,6 @@ def _make_rtr_kernel(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((C, max(E2, CHUNK)), jnp.float32),  # gathered endpoints
-            pltpu.VMEM((2 * C, max(E2, CHUNK)), jnp.bfloat16),  # contributions
             pltpu.VMEM((2 * C, n_pad), jnp.float32),  # scatter accumulator
         ],
         interpret=interpret,
