@@ -545,6 +545,22 @@ def main(argv=None) -> int:
                     "iterations": int(st.iteration),
                     "final_cost": float(st.cost),
                 }
+                from dpgo_ros_tpu.utils.config import RobustCostType as _RCT
+
+                if cfg.robust_cost_type != _RCT.L2:
+                    from dpgo_ros_tpu.models import robust as _robust
+
+                    acc_, rej_, und_ = _robust.classify_weights(
+                        st.weights, prob.edges.is_loop, prob.edges.mask
+                    )
+                    tot_ = int(acc_) + int(rej_) + int(und_)
+                    info["gnc_stats"] = {
+                        "accepted": int(acc_),
+                        "rejected": int(rej_),
+                        "undecided": int(und_),
+                        "convergence_ratio": (int(acc_) + int(rej_))
+                        / max(tot_, 1),
+                    }
             else:
                 st, info = eng.run(st, callback=cb)
         if mgr is not None:
@@ -556,6 +572,8 @@ def main(argv=None) -> int:
             "iterations": info["iterations"],
             "final_cost": info["final_cost"],
         }
+        if "gnc_stats" in info:
+            summary["gnc_stats"] = info["gnc_stats"]
     summary["wall_time_sec"] = round(time.time() - t0, 3)
     print(json.dumps(summary))
 
