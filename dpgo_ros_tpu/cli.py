@@ -147,6 +147,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="ASAPP O(1/t) stepsize decay time constant (0 = reference "
         "constant-rate behavior)",
     )
+    p.add_argument(
+        "--asapp_tolerance",
+        type=float,
+        default=1e-3,
+        help="async-mode termination: per-robot block movement per tick "
+        "(per-tick scale, NOT the sync relative_change_tolerance scale)",
+    )
     p.add_argument("--timeout_threshold", type=float, default=15.0)
     p.add_argument("--verbose", type=_bool, default=False)
     p.add_argument("--dtype", choices=["float32", "float64"], default="float32")
@@ -212,6 +219,7 @@ def args_to_config(a):
         weight_convergence_threshold=a.weight_convergence_threshold,
         max_delayed_iterations=a.max_delayed_iterations,
         asapp_stepsize_decay_ticks=a.asapp_stepsize_decay_ticks,
+        asapp_tolerance=a.asapp_tolerance,
         timeout_threshold=a.timeout_threshold,
         log_directory=a.log_directory,
         verbose=a.verbose,
@@ -339,7 +347,7 @@ def main(argv=None) -> int:
         st, info = aeng.run(
             st0.X,
             num_ticks=cfg.max_iteration_number,
-            tol=cfg.relative_change_tolerance,
+            tol=cfg.asapp_tolerance,
         )
         T = np.asarray(
             rounding.anchor_to_first_pose(rounding.round_solution(st.X))

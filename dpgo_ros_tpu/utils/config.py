@@ -172,6 +172,13 @@ class AgentConfig:
     # behavior). Kills the bounded-staleness noise ball on ill-conditioned
     # graphs (parking-garage) — see parallel/asapp.py.
     asapp_stepsize_decay_ticks: int = 0
+    # async-mode termination: per-robot block-Frobenius movement PER TICK.
+    # This is a different scale from the sync rel-change tolerance (one tick
+    # = one RGD step vs one full block trust-region solve), so it gets its
+    # own knob: 0.2-scale sync tolerances fire on the very first async tick.
+    # 1e-3 reproduces the recorded torus3D/sphere baselines; parking-garage
+    # (tiny optimum) wants 1e-4 (scripts/run_baselines.py §4).
+    asapp_tolerance: float = 1e-3
     # single-Pallas-kernel RTR block solve (ops/fused_rtr.py): None = auto
     # (enabled on a TPU backend with fp32 + RTR); False forces the XLA path;
     # True forces the kernel (interpreter mode off-TPU — tests only)

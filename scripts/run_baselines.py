@@ -6,6 +6,9 @@ Writes ``baseline_results.json`` at the repo root:
   3. sphere2500 5-robot (plain + Nesterov acceleration)
   4. parking-garage + torus3D asynchronous ASAPP, RGD stepsize sweep
   5. tunnels 8-robot GNC-TLS
+
+Optional argv: section numbers to run (e.g. ``python run_baselines.py 4``);
+results for re-run sections are merged into the existing json.
 """
 
 import json
@@ -40,6 +43,7 @@ from dpgo_ros_tpu.utils.config import (
 )
 
 RESULTS = {}
+ONLY = {int(a) for a in sys.argv[1:] if a.isdigit()} or {1, 2, 3, 4, 5}
 
 
 def log(msg):
@@ -69,20 +73,21 @@ def solve(tag, data, cfg, max_iters=None):
 
 
 # 1 — tinyGrid3D single-agent L2
-solve(
-    "tinyGrid3D_1robot_L2",
-    load_g2o_dataset("tinyGrid3D", num_robots=1),
-    AgentConfig(
-        num_robots=1,
-        local_initialization_method=InitMethod.ODOMETRY,
-        relative_change_tolerance=1e-2,
-        max_iteration_number=50,
-        RTR_gradnorm_tol=0.1,
-    ),
-)
+if 1 in ONLY:
+    solve(
+        "tinyGrid3D_1robot_L2",
+        load_g2o_dataset("tinyGrid3D", num_robots=1),
+        AgentConfig(
+            num_robots=1,
+            local_initialization_method=InitMethod.ODOMETRY,
+            relative_change_tolerance=1e-2,
+            max_iteration_number=50,
+            RTR_gradnorm_tol=0.1,
+        ),
+    )
 
 # 2 — smallGrid3D + cubicle 2-robot synchronous RBCD
-for name, tol in [("smallGrid3D", 1e-2), ("cubicle", 0.5)]:
+for name, tol in [("smallGrid3D", 1e-2), ("cubicle", 0.5)] if 2 in ONLY else []:
     solve(
         f"{name}_2robot_sync",
         load_g2o_dataset(name, num_robots=2),
@@ -97,7 +102,7 @@ for name, tol in [("smallGrid3D", 1e-2), ("cubicle", 0.5)]:
     )
 
 # 3 — sphere2500 5-robot demo (plain + accelerated)
-for accel in (False, True):
+for accel in ((False, True) if 3 in ONLY else ()):
     solve(
         f"sphere2500_5robot{'_accel' if accel else ''}",
         load_g2o_dataset("sphere2500", num_robots=5),
@@ -116,10 +121,13 @@ for accel in (False, True):
 # O(1/t) decay that removes the bounded-staleness noise ball
 # (parallel/asapp.py::_stepsize_at; tight optima: parking-garage 1.2625
 # [SE-Sync], torus3D 24227.05 [docs/PERFORMANCE.md golden table])
-for name, sweep, ticks in (
-    ("parking-garage", (0.05, 0.1, 0.2), 8000),
-    ("torus3D", (0.1, 0.3, 0.5), 6000),
-):
+# parking-garage's optimum is tiny (1.2625) so the movement-based
+# termination needs a tighter tol than torus3D to get within a few % of it
+# (tol=1e-3 stops at tick ~880 / cost 1.39; tol=1e-4 reaches ~1.28)
+for name, sweep, ticks, tol in (
+    ("parking-garage", (0.05, 0.1, 0.2), 24000, 1e-4),
+    ("torus3D", (0.1, 0.3, 0.5), 6000, 1e-3),
+) if 4 in ONLY else ():
     data = load_g2o_dataset(name, num_robots=5)
     prob = LiftedProblem.from_data(data, r=5)
     init_cfg = AgentConfig(
@@ -140,7 +148,7 @@ for name, sweep, ticks in (
         )
         eng = ASAPPEngine(prob, cfg)
         t0 = time.time()
-        st, info = eng.run(st0.X, num_ticks=ticks, chunk=2000, tol=1e-3)
+        st, info = eng.run(st0.X, num_ticks=ticks, chunk=2000, tol=tol)
         f = float(quadratic.cost(st.X, prob.edges))
         sweep_log.append({"stepsize": stepsize, "final_cost": f,
                           "ticks": info["ticks"]})
@@ -164,42 +172,49 @@ for name, sweep, ticks in (
 #     iterations cannot re-converge from odometry init);
 # (b) the TPU-native configuration (colored-parallel rule, no resets,
 #     30 inner) — converges inside the same reference budget.
-solve(
-    "tunnels_8robot_gnc_reference_demo",
-    load_tunnels(),
-    AgentConfig(
-        num_robots=8,
-        update_rule=UpdateRule.ROUND_ROBIN,
-        local_initialization_method=InitMethod.ODOMETRY,
-        robust_cost_type=RobustCostType.GNC_TLS,
-        GNC_use_probability=False,
-        GNC_barc=3.0,
-        robust_opt_num_weight_updates=3,
-        robust_opt_num_resets=3,
-        robust_opt_inner_iters_per_robot=50,
-        relative_change_tolerance=0.2,
-        RTR_gradnorm_tol=0.5,
-    ),
-)
-solve(
-    "tunnels_8robot_gnc",
-    load_tunnels(),
-    AgentConfig(
-        num_robots=8,
-        update_rule=UpdateRule.PARALLEL,
-        local_initialization_method=InitMethod.ODOMETRY,
-        robust_cost_type=RobustCostType.GNC_TLS,
-        GNC_use_probability=False,
-        GNC_barc=3.0,
-        robust_opt_num_weight_updates=3,
-        robust_opt_num_resets=0,
-        robust_opt_inner_iters_per_robot=30,
-        relative_change_tolerance=0.2,
-        RTR_gradnorm_tol=0.5,
-    ),
-)
+if 5 in ONLY:
+    solve(
+        "tunnels_8robot_gnc_reference_demo",
+        load_tunnels(),
+        AgentConfig(
+            num_robots=8,
+            update_rule=UpdateRule.ROUND_ROBIN,
+            local_initialization_method=InitMethod.ODOMETRY,
+            robust_cost_type=RobustCostType.GNC_TLS,
+            GNC_use_probability=False,
+            GNC_barc=3.0,
+            robust_opt_num_weight_updates=3,
+            robust_opt_num_resets=3,
+            robust_opt_inner_iters_per_robot=50,
+            relative_change_tolerance=0.2,
+            RTR_gradnorm_tol=0.5,
+        ),
+    )
+    solve(
+        "tunnels_8robot_gnc",
+        load_tunnels(),
+        AgentConfig(
+            num_robots=8,
+            update_rule=UpdateRule.PARALLEL,
+            local_initialization_method=InitMethod.ODOMETRY,
+            robust_cost_type=RobustCostType.GNC_TLS,
+            GNC_use_probability=False,
+            GNC_barc=3.0,
+            robust_opt_num_weight_updates=3,
+            robust_opt_num_resets=0,
+            robust_opt_inner_iters_per_robot=30,
+            relative_change_tolerance=0.2,
+            RTR_gradnorm_tol=0.5,
+        ),
+    )
 
-with open(os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "baseline_results.json"), "w") as f:
-    json.dump(RESULTS, f, indent=1)
+_out = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "baseline_results.json")
+merged = {}
+if len(ONLY) < 5 and os.path.exists(_out):
+    with open(_out) as f:
+        merged = json.load(f)
+merged.update(RESULTS)
+with open(_out, "w") as f:
+    json.dump(merged, f, indent=1)
 log("wrote baseline_results.json")

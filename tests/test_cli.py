@@ -88,3 +88,20 @@ def test_gnc_schedule_flags_round_trip():
     cfg = args_to_config(a)
     assert cfg.GNC_schedule == "reference"
     assert cfg.gnc_finalize_by_residual is False
+
+
+def test_async_mode_uses_per_tick_tolerance():
+    """The async engine terminates on ``asapp_tolerance`` (per-tick movement
+    scale), NOT the sync ``relative_change_tolerance`` — a 0.1-scale sync
+    tolerance fires on the very first one-RGD-step tick (regression: the
+    async CLI "converged" after 1 tick at the init cost)."""
+    a = build_parser().parse_args([])
+    cfg = args_to_config(a)
+    assert cfg.asapp_tolerance == 1e-3
+    # flag round-trips independently of the sync tolerance
+    a = build_parser().parse_args(
+        ["--asapp_tolerance", "1e-4", "--relative_change_tolerance", "0.2"]
+    )
+    cfg = args_to_config(a)
+    assert cfg.asapp_tolerance == 1e-4
+    assert cfg.relative_change_tolerance == 0.2
