@@ -133,10 +133,22 @@ class KernelGraph:
     chain_edge_of_lane: np.ndarray = None  # (n_pad,) int32; E_pad = none
     loop_edge_of_slot: np.ndarray = None  # (E_loop_pad,) int32
 
+    # src-sorted window spec (windowed=True builds): loop slots are sorted by
+    # src, so the src endpoints of chunk c live in lanes
+    # [loop_win_off[c], loop_win_off[c] + loop_win_w) — the src-side one-hot
+    # shrinks from n_pad rows to loop_win_w rows (the kernel's dominant VPU
+    # cost). Offsets are STATIC per chunk (baked into the kernel), so this is
+    # engine-path only; the SPMD path shares one program across mesh slots
+    # with per-device edge arrays as *data* and stays unwindowed.
+    loop_win_off: Optional[Tuple[int, ...]] = None  # per chunk (incl. tail)
+    loop_win_w: int = 0
+
     @staticmethod
     def build(edges: EdgeSet, n: int, num_robots: int,
               offsets, num_poses, n_pad: Optional[int] = None,
-              e_loop_pad: Optional[int] = None) -> "KernelGraph":
+              e_loop_pad: Optional[int] = None,
+              windowed: bool = False,
+              win_w_force: Optional[int] = None) -> "KernelGraph":
         src = np.asarray(edges.src)
         dst = np.asarray(edges.dst)
         R = np.asarray(edges.R, np.float32)
@@ -163,6 +175,32 @@ class KernelGraph:
         E_loop = len(loop_edges)
         E_loop_pad = e_loop_pad or max(_rup(E_loop, CHUNK // 2), CHUNK // 2)
         assert E_loop_pad >= E_loop and E_loop_pad % (CHUNK // 2) == 0
+
+        loop_win_off, loop_win_w = None, 0
+        if windowed:
+            # sort slots by src so each chunk's src lanes span a narrow,
+            # statically-known window; padded tail slots (src treated as 0)
+            # never match a shifted one-hot row and carry zero weight anyway
+            loop_edges.sort(key=lambda e: int(src[e]))
+            bounds = list(range(0, E_loop_pad, CHUNK))
+            spans = []
+            for off in bounds:
+                real = [int(src[e])
+                        for e in loop_edges[off:off + CHUNK]]
+                if real:
+                    lo = (min(real) // 256) * 256
+                    spans.append((lo, max(real) + 1 - lo))
+                else:
+                    spans.append((0, 1))
+            loop_win_w = max(_rup(s[1], 256) for s in spans)
+            if win_w_force is not None:
+                # shared-program builds (SPMD: one kernel, per-device window
+                # rows as data) need a common static width
+                loop_win_w = max(loop_win_w, win_w_force)
+            loop_win_w = min(loop_win_w, n_pad)
+            loop_win_off = tuple(
+                min(s[0], n_pad - loop_win_w) for s in spans
+            )
 
         chain_R = np.zeros((d * d, n_pad), np.float32)
         chain_R[:: d + 1, :] = 1.0  # identity on empty lanes (harmless, w=0)
@@ -216,6 +254,8 @@ class KernelGraph:
             loop_slot_of_edge=loop_slot,
             chain_edge_of_lane=chain_edge_of_lane,
             loop_edge_of_slot=loop_edge_of_slot,
+            loop_win_off=loop_win_off,
+            loop_win_w=loop_win_w,
         )
 
     def with_rank(self, r: int) -> "KernelGraph":
@@ -262,10 +302,10 @@ class KernelGraph:
 
 
 def build_kernel_graph(problem, r: Optional[int] = None) -> KernelGraph:
-    """KernelGraph from a LiftedProblem."""
+    """KernelGraph from a LiftedProblem (engine path: src-windowed chunks)."""
     kg = KernelGraph.build(
         problem.edges, problem.n, problem.num_robots, problem.offsets,
-        problem.num_poses,
+        problem.num_poses, windowed=True,
     )
     return kg.with_rank(r or problem.r)
 
@@ -299,6 +339,8 @@ def _make_rtr_kernel(
     tcg_kappa: float,
     tcg_theta: float,
     interpret: bool,
+    windowed: bool = False,
+    win_w: int = 0,
 ):
     """Compile-cached pallas_call for one full RTR block solve."""
     from jax.experimental import pallas as pl
@@ -312,9 +354,13 @@ def _make_rtr_kernel(
     def kernel(
         xt_ref, mask_ref, pinv_ref, kwc_ref, twc_ref, kwl_ref, twl_ref,
         idx2_ref, Rc_ref, tc_ref, Rl_ref, tl_ref,
-        xout_ref, stats_ref,
-        acc_ref,
+        *rest,
     ):
+        if windowed:
+            wins_ref, xout_ref, stats_ref, acc_ref, thl_ref = rest
+        else:
+            xout_ref, stats_ref, acc_ref = rest
+            wins_ref = thl_ref = None
         mask = mask_ref[:]  # (1, n_pad)
         Rc = Rc_ref[:]
         tc = tc_ref[:]
@@ -362,20 +408,40 @@ def _make_rtr_kernel(
             Cj = jnp.concatenate(kr1 + [tr2], axis=0)
             return Ci, Cj
 
-        def loop_edges_apply(Thl, off, width, f):
+        def loop_edges_apply(Thl, off, width, f, woff=None):
             """Fused gather → edge compute → scatter-add for one chunk of
             loop slots. Each endpoint one-hot is built ONCE and used in both
             matmul orientations — as the gather RHS (contract n_pad) and as
             the scatter-add RHS (contract the chunk dim; an NT contraction,
             no transpose materialized). One-hot construction is the kernel's
-            dominant VPU cost, so this halves it vs separate passes."""
+            dominant VPU cost, so this halves it vs separate passes.
+
+            With a src window ``woff`` (slots sorted by src at
+            KernelGraph.build; offsets ride in SMEM as multiples of 256 so
+            Mosaic can prove lane alignment of the dynamic slices), the src
+            one-hot spans ``win_w`` lanes instead of ``n_pad`` — the gather
+            LHS is the matching dynamic slice of the hi/lo state staged in
+            ``thl_ref``, and the scatter-add targets the same slice of the
+            accumulator. Padded slots (src = 0, below any window) match no
+            shifted row and carry zero weight, so they contribute nothing
+            either way."""
             s_idx = idx2_ref[0, pl.ds(off, width)]
             d_idx = idx2_ref[0, pl.ds(E_loop_pad + off, width)]
-            iota = jax.lax.broadcasted_iota(jnp.int32, (n_pad, width), 0)
-            oh_s = (iota == s_idx[None, :]).astype(jnp.bfloat16)
-            oh_d = (iota == d_idx[None, :]).astype(jnp.bfloat16)
+            iota_d = jax.lax.broadcasted_iota(jnp.int32, (n_pad, width), 0)
+            oh_d = (iota_d == d_idx[None, :]).astype(jnp.bfloat16)
+            if woff is None:
+                oh_s = (iota_d == s_idx[None, :]).astype(jnp.bfloat16)
+                Th_s = Thl
+            else:
+                iota_s = jax.lax.broadcasted_iota(
+                    jnp.int32, (win_w, width), 0
+                )
+                oh_s = (iota_s == (s_idx[None, :] - woff)).astype(
+                    jnp.bfloat16
+                )
+                Th_s = thl_ref[:, pl.ds(woff, win_w)]
             Vi2 = jax.lax.dot_general(
-                Thl, oh_s, (((1,), (0,)), ((), ())),
+                Th_s, oh_s, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             Vj2 = jax.lax.dot_general(
@@ -390,10 +456,16 @@ def _make_rtr_kernel(
             tw = twl_ref[:, pl.ds(off, width)]
             kr1, tr2, fc = edge_terms(Vi, Vj, Rv, tv, kw, tw)
             Ci, Cj = edge_contribs(kr1, tr2, Rv, tv)
-            acc_ref[:] += jax.lax.dot_general(
+            ci_hilo = jax.lax.dot_general(
                 _hilo(Ci), oh_s, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            if woff is None:
+                acc_ref[:] += ci_hilo
+            else:
+                acc_ref[:, pl.ds(woff, win_w)] = (
+                    acc_ref[:, pl.ds(woff, win_w)] + ci_hilo
+                )
             acc_ref[:] += jax.lax.dot_general(
                 _hilo(Cj), oh_d, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -410,13 +482,36 @@ def _make_rtr_kernel(
             Thl = _hilo(T)
             acc_ref[:] = jnp.zeros((2 * C, n_pad), jnp.float32)
 
-            def body(cidx, facc):
-                return loop_edges_apply(Thl, cidx * CHUNK, CHUNK, facc)
+            if windowed:
+                # one fori_loop body (unrolling blows the Mosaic VMEM
+                # stack); every chunk's window offset — tail included — is
+                # DATA read from SMEM as a multiple of 256 (alignment
+                # provable; per-device rows on the SPMD path)
+                thl_ref[:] = Thl
 
-            if n_chunks_l:
-                f = jax.lax.fori_loop(0, n_chunks_l, body, f)
-            if tail_l:
-                f = loop_edges_apply(Thl, n_chunks_l * CHUNK, tail_l, f)
+                def wbody(cidx, facc):
+                    wo = wins_ref[0, cidx] * 256
+                    return loop_edges_apply(
+                        Thl, cidx * CHUNK, CHUNK, facc, wo
+                    )
+
+                if n_chunks_l:
+                    f = jax.lax.fori_loop(0, n_chunks_l, wbody, f)
+                if tail_l:
+                    f = loop_edges_apply(
+                        Thl, n_chunks_l * CHUNK, tail_l, f,
+                        wins_ref[0, n_chunks_l] * 256,
+                    )
+            else:
+                def body(cidx, facc):
+                    return loop_edges_apply(Thl, cidx * CHUNK, CHUNK, facc)
+
+                if n_chunks_l:
+                    f = jax.lax.fori_loop(0, n_chunks_l, body, f)
+                if tail_l:
+                    f = loop_edges_apply(
+                        Thl, n_chunks_l * CHUNK, tail_l, f
+                    )
             A = acc_ref[:]
             return G + A[:C] + A[C:], f
 
@@ -637,20 +732,25 @@ def _make_rtr_kernel(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12
+    scratch = [
+        pltpu.VMEM((2 * C, n_pad), jnp.float32),  # scatter accumulator
+    ]
+    if windowed:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # windows/256
+        scratch.append(pltpu.VMEM((2 * C, n_pad), jnp.bfloat16))  # hi/lo X
     return pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((C, n_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, _STATS_W), jnp.float32),
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 12,
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((2 * C, n_pad), jnp.float32),  # scatter accumulator
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )
 
@@ -664,6 +764,7 @@ def rtr_solve_fused(
     params,
     interpret: bool = False,
     consts=None,
+    wins: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One full RTR block solve as a single Pallas kernel.
 
@@ -689,10 +790,24 @@ def rtr_solve_fused(
         float(params.tcg_kappa),
         float(params.tcg_theta),
         interpret,
+        kg.loop_win_off is not None,
+        int(kg.loop_win_w),
     )
     idx2, Rc, tc, Rl, tl = consts if consts is not None else kg.constants()
     kwc, twc, kwl, twl = wrows
-    return fk(Xt, mask_row, pinv_t, kwc, twc, kwl, twl, idx2, Rc, tc, Rl, tl)
+    args = [Xt, mask_row, pinv_t, kwc, twc, kwl, twl, idx2, Rc, tc, Rl, tl]
+    if kg.loop_win_off is not None:
+        if wins is None:
+            wins = wins_row(kg)
+        args.append(wins)
+    return fk(*args)
+
+
+def wins_row(kg: KernelGraph) -> np.ndarray:
+    """The (1, n_chunks) int32 SMEM row of per-chunk window offsets / 256
+    (tail chunk included) for a windowed KernelGraph — per-device data on
+    the SPMD path, where every mesh slot runs the same program."""
+    return np.asarray([[o // 256 for o in kg.loop_win_off]], np.int32)
 
 
 def weight_rows_gather(

@@ -319,11 +319,16 @@ def build_spmd_step(
                 is_loop=sp.is_loop[m],
             )
             kgs.append(fused_rtr.KernelGraph.build(
-                e_m, M * n_max, 0, (), (), n_pad=n_pad))
+                e_m, M * n_max, 0, (), (), n_pad=n_pad, windowed=True))
         elp = max(
             max(k.E_loop_pad for k in kgs), fused_rtr.CHUNK // 2
         )
-        if any(k.E_loop_pad != elp for k in kgs):
+        winw = max(k.loop_win_w for k in kgs)
+        if any(
+            k.E_loop_pad != elp or k.loop_win_w != winw for k in kgs
+        ):
+            # one program across mesh slots: common static E_loop_pad and
+            # window width; per-device window OFFSETS stay data (kg_wins)
             kgs = [
                 fused_rtr.KernelGraph.build(
                     EdgeSet(
@@ -333,6 +338,7 @@ def build_spmd_step(
                         is_loop=sp.is_loop[m],
                     ),
                     M * n_max, 0, (), (), n_pad=n_pad, e_loop_pad=elp,
+                    windowed=True, win_w_force=winw,
                 )
                 for m in range(M)
             ]
@@ -345,6 +351,7 @@ def build_spmd_step(
             "kg_lt": np.stack([k.loop_t for k in kgs]),
             "kg_cel": np.stack([k.chain_edge_of_lane for k in kgs]),
             "kg_les": np.stack([k.loop_edge_of_slot for k in kgs]),
+            "kg_wins": np.stack([fused_rtr.wins_row(k) for k in kgs]),
         }
 
     # Static per-device tensors, device_put as *global* sharded arrays and
@@ -427,6 +434,7 @@ def build_spmd_step(
                     c["kg_idx2"][0], c["kg_cR"][0], c["kg_ct"][0],
                     c["kg_lR"][0], c["kg_lt"][0],
                 ),
+                wins=c["kg_wins"][0],
             )
             Z = fused_rtr.from_t(Xt_new, M * n_max, sp.r, sp.d + 1)
             return jnp.where(mask > 0, Z, Xfull)
