@@ -336,19 +336,65 @@ def main(argv=None) -> int:
         # (``runOnceAsynchronous``, ``src/PGOAgentROS.cpp:119-127``;
         # ``launch/asapp_demo.launch``)
         from dpgo_ros_tpu.ops import quadratic, rounding
-        from dpgo_ros_tpu.parallel.asapp import ASAPPEngine
+        from dpgo_ros_tpu.parallel.asapp import ASAPPEngine, ASAPPState
+        from dpgo_ros_tpu.utils import checkpoint as ckpt_mod
+        from dpgo_ros_tpu.utils import telemetry
+        from dpgo_ros_tpu.utils.profiling import device_trace
 
         prob = LiftedProblem.from_data(
             data, r=cfg.relaxation_rank, dtype=jnp.float32
         )
-        eng = RBCDEngine(prob, cfg)  # shared initialization pipeline
-        st0 = eng.initialize()
         aeng = ASAPPEngine(prob, cfg)
-        st, info = aeng.run(
-            st0.X,
-            num_ticks=cfg.max_iteration_number,
-            tol=cfg.asapp_tolerance,
+        mgr = (
+            ckpt_mod.CheckpointManager(
+                a.checkpoint_dir, every=a.checkpoint_every
+            )
+            if a.checkpoint_dir
+            else None
         )
+        ast = None
+        if a.resume:
+            rp = a.resume
+            if rp == "latest":
+                if mgr is None or mgr.latest() is None:
+                    print("error: --resume latest needs a --checkpoint_dir "
+                          "with checkpoints", file=sys.stderr)
+                    return 2
+                rp = mgr.latest()[1]
+            ast, _, _meta = ckpt_mod.load_state(rp, ASAPPState)
+            print(f"async resumed from {rp} (tick {int(ast.tick)})",
+                  file=sys.stderr)
+            X0 = None
+        else:
+            eng = RBCDEngine(prob, cfg)  # shared initialization pipeline
+            X0 = eng.initialize().X
+        t_run0 = time.time()
+        with device_trace(a.profile_dir):
+            st, info = aeng.run(
+                X0,
+                num_ticks=cfg.max_iteration_number,
+                tol=cfg.asapp_tolerance,
+                state=ast,
+                record=bool(a.log_directory),
+            )
+        if mgr is not None:
+            mgr.save(int(st.tick), st, None,
+                     meta={"tick": int(st.tick), "final": True})
+            print(f"async checkpoint written to {mgr.step_path(int(st.tick))}",
+                  file=sys.stderr)
+        if a.log_directory and len(info.get("rel_hist", [])):
+            nrows = len(info["rel_hist"])
+            mean_t = (time.time() - t_run0) / max(nrows, 1)
+            telemetry.write_run_logs(
+                a.log_directory,
+                problem=prob,
+                rel_change_rows=info["rel_hist"],
+                # ticks run on-device inside one program: per-tick host
+                # clocks don't exist — report the measured mean
+                iter_times=np.full((nrows,), mean_t),
+            )
+            print(f"per-agent telemetry CSVs in {a.log_directory}",
+                  file=sys.stderr)
         T = np.asarray(
             rounding.anchor_to_first_pose(rounding.round_solution(st.X))
         )
@@ -447,6 +493,7 @@ def main(argv=None) -> int:
                   file=sys.stderr)
         gnc = cfg.robust_cost_type == RobustCostType.GNC_TLS
         inner = cfg.robust_opt_inner_iters_per_robot * cfg.num_robots
+        log_rel, log_t, log_ev = [], [], []
         for it in range(it0, cfg.max_iteration_number):
             # GNC weight rounds on the reference cadence
             wu = int(
@@ -456,7 +503,16 @@ def main(argv=None) -> int:
                 and int(np.asarray(st.wuc)[0, 0])
                 < cfg.robust_opt_num_weight_updates
             )
+            t_it = time.time()
             st = step(np.int32(it), np.int32(wu), st)
+            if a.log_directory:
+                # per-iteration telemetry forces one device sync per step
+                # (the reference pays the same to write its CSV rows,
+                # src/PGOAgentROS.cpp:853-894)
+                log_rel.append(np.asarray(st.rel_change)[:, 0])
+                log_t.append(time.time() - t_it)
+                if wu:
+                    log_ev.append((it - it0, "UPDATE_WEIGHT"))
             if mgr is not None:
                 mgr.maybe_save(it + 1, st, None, meta={"it": it + 1})
             if it % 20 == 19:
@@ -469,6 +525,18 @@ def main(argv=None) -> int:
                     break
         if mgr is not None:
             mgr.save(it + 1, st, None, meta={"it": it + 1, "final": True})
+        if a.log_directory and log_rel:
+            from dpgo_ros_tpu.utils import telemetry
+
+            telemetry.write_run_logs(
+                a.log_directory,
+                problem=prob,
+                rel_change_rows=np.stack(log_rel),
+                iter_times=log_t,
+                events=log_ev,
+            )
+            print(f"per-agent telemetry CSVs in {a.log_directory}",
+                  file=sys.stderr)
         Xg = gather_trajectory(sp, st, prob.num_poses)
         T = np.asarray(
             rounding.anchor_to_first_pose(
@@ -543,12 +611,38 @@ def main(argv=None) -> int:
             if mgr is not None
             else None
         )
+        t_run0 = time.time()
         with device_trace(a.profile_dir):
             if a.mode == "fused":
                 # the engine's resolved config carries the derived GNC
                 # iteration budget (reference PGOAgentROSNode.cpp:227-232)
-                run = eng.make_fused_run(eng.config.max_iteration_number)
-                st = run(st)
+                run = eng.make_fused_run(
+                    eng.config.max_iteration_number,
+                    record=bool(a.log_directory),
+                )
+                if a.log_directory:
+                    st, rel_h, ev_h = run(st)
+                    from dpgo_ros_tpu.utils import telemetry
+
+                    ev = [
+                        (int(i), "UPDATE_WEIGHT")
+                        for i in np.where(np.asarray(ev_h) > 0)[0]
+                    ]
+                    nrows = int(st.iteration)
+                    mean_t = (time.time() - t_run0) / max(nrows, 1)
+                    telemetry.write_run_logs(
+                        a.log_directory,
+                        problem=prob,
+                        rel_change_rows=np.asarray(rel_h),
+                        # one XLA program, no per-iteration host clock:
+                        # report the measured mean
+                        iter_times=np.full((nrows,), mean_t),
+                        events=ev,
+                    )
+                    print(f"per-agent telemetry CSVs in {a.log_directory}",
+                          file=sys.stderr)
+                else:
+                    st = run(st)
                 info = {
                     "iterations": int(st.iteration),
                     "final_cost": float(st.cost),
@@ -571,6 +665,19 @@ def main(argv=None) -> int:
                     }
             else:
                 st, info = eng.run(st, callback=cb)
+                if a.log_directory and info["history"]["rel_change_robots"]:
+                    from dpgo_ros_tpu.utils import telemetry
+
+                    h = info["history"]
+                    telemetry.write_run_logs(
+                        a.log_directory,
+                        problem=prob,
+                        rel_change_rows=np.stack(h["rel_change_robots"]),
+                        iter_times=h["iter_time_sec"],
+                        events=h["event"],
+                    )
+                    print(f"per-agent telemetry CSVs in {a.log_directory}",
+                          file=sys.stderr)
         if mgr is not None:
             mgr.save(int(st.iteration), st, eng.Ylift,
                      meta={"final": True, "cost": float(st.cost)})

@@ -23,14 +23,37 @@ TPU-native design decisions:
   shared loop closures at robot boundaries) occupies the dense "chain lane"
   src: endpoint gathers are a one-lane shift and scatter-adds are the
   shifted add — zero gather cost for ~half the edges of a typical pose graph.
+* **Diagonal loop-closure classes are lane shifts too** (round 3): pose
+  graphs from regular trajectories are *banded* — loop closures cluster on
+  a few diagonals of the adjacency matrix (sphere2500: ALL 2,450 loop
+  closures have ``dst − src == 50``; torus3D: two offsets cover 100%;
+  cubicle: 4 offsets cover ~47%). Every offset Δ claiming ≥ DIAG_MIN edges
+  becomes a dense diagonal class: gather = static Δ-lane shift, scatter =
+  the −Δ shift, per-class cost one full-lane VPU edge pass — zero MXU
+  work. On sphere2500 this empties the one-hot loop-slot set completely;
+  only irregular (off-diagonal) edges pay the one-hot matmul. MXU one-hot
+  time is ∝ K·N area (independent of the ≤128 LHS rows), so removing slots
+  is worth strictly more than widening matmuls — measured in
+  docs/PERFORMANCE.md.
 * **Loop-closure gathers are one-hot MXU matmuls**: Mosaic (still) cannot
   lower vectorized gathers (``ref[idx_vec]`` → "Cannot do int indexing on
-  TPU"), so arbitrary-index gathers/scatter-adds run as chunked
+  TPU"), so arbitrary-index gathers/scatter-adds run as
   ``one_hot(idx) @ table`` contractions on the MXU. The one-hot is exact in
   bf16; the fp32 table is split hi/lo into two stacked bf16 operands
   (fp32 = bf16_hi + bf16_lo to ~2⁻¹⁶ relative), so a single fp32-accumulating
   bf16 matmul pair reproduces the fp32 gather to ~1e-6 relative — measured
   6.3e-6 max error on sphere2500 against the XLA fp32 operator.
+* **The one-hot tables are PRECOMPUTED, not rebuilt per use** (round 3).
+  Edge endpoints never change during a solve, so the stacked
+  ``(n_pad, 2·E_loop_pad)`` bf16 table ([src one-hots | dst one-hots]) is
+  built once per problem and rides into the kernel as a VMEM-resident input
+  (v5e has 128 MB VMEM; a ~112 MB kernel footprint compiles and runs — see
+  docs/PERFORMANCE.md roofline). Each Q-application is then exactly TWO
+  full-width MXU matmuls — one gather ``X_hilo @ OH`` and one NT scatter
+  ``[Ci|Cj]_hilo @ OHᵀ`` — instead of rebuilding ~13M iota-compare one-hot
+  elements on the VPU per application (the round-2 bottleneck). Problems
+  whose table exceeds the VMEM budget fall back to the round-2 chunked
+  on-the-fly construction (``oh=None``).
 
 Capability citations: solver budget semantics per reference
 ``launch/dpgo_demo.launch:33-35`` (RTR_iterations / RTR_tCG_iterations /
@@ -53,7 +76,13 @@ import numpy as np
 
 from dpgo_ros_tpu.ops.quadratic import EdgeSet
 
-CHUNK = 512  # one-hot matmul chunk width (lanes); 1024 exceeds the 16 MB VMEM
+CHUNK = 512  # chunked-fallback one-hot matmul width (tabled path: no chunks)
+MAX_DIAGS = 16  # diagonal (lane-shift) loop-closure classes per problem
+# precomputed-table budget: the VMEM probe compiled+ran a 112 MB-footprint
+# kernel on this v5e, and Mosaic's scoped-stack accounting charges the table
+# ~3.2× (input + one materialized copy per matmul orientation) plus ~2 MB of
+# solver state — so cap the table itself at ~30 MB
+TABLE_VMEM_BUDGET = 30 * 2**20
 _STATS_W = 128  # stats row width; layout below
 # stats layout: [0]=f0 [1]=f_opt [2]=gn0 [3]=gn_opt [4]=iters
 _S_MOVED = 8  # [8 : 8+R]   per-robot block Frobenius displacement
@@ -136,19 +165,37 @@ class KernelGraph:
     # src-sorted window spec (windowed=True builds): loop slots are sorted by
     # src, so the src endpoints of chunk c live in lanes
     # [loop_win_off[c], loop_win_off[c] + loop_win_w) — the src-side one-hot
-    # shrinks from n_pad rows to loop_win_w rows (the kernel's dominant VPU
-    # cost). Offsets are STATIC per chunk (baked into the kernel), so this is
-    # engine-path only; the SPMD path shares one program across mesh slots
-    # with per-device edge arrays as *data* and stays unwindowed.
+    # shrinks from n_pad rows to loop_win_w rows. The offsets ride into the
+    # kernel as SMEM *data* (``wins_row``, multiples of 256 so Mosaic can
+    # prove lane alignment), so the engine and SPMD paths share one windowed
+    # program — per-device offset rows on the SPMD path. Windows only matter
+    # for the chunked fallback; the tabled path (``oh_table``) has no chunk
+    # loop and ignores them.
     loop_win_off: Optional[Tuple[int, ...]] = None  # per chunk (incl. tail)
     loop_win_w: int = 0
+
+    # diagonal loop-closure classes (module docstring): offsets Δ ∉ {0, 1}
+    # claiming ≥ diag_min edges become dense lane classes whose gathers and
+    # scatter-adds are static Δ-lane shifts (zero MXU cost). Lane s of class
+    # j hosts edge (s, s+Δ_j). diag_lane_of_edge is the FLAT
+    # (E_pad,) → j·n_pad + lane scatter map (sentinel = D·n_pad);
+    # diag_edge_of_lane its (D·n_pad,) inverse (sentinel = E_pad), D =
+    # max(1, len(diags2)).
+    diags2: Tuple[int, ...] = ()
+    diag_R: np.ndarray = None  # (D*d*d, n_pad) fp32, identity on empty lanes
+    diag_t: np.ndarray = None  # (D*d, n_pad)
+    diag_lane_of_edge: np.ndarray = None  # (E_pad,) int32 flat
+    diag_edge_of_lane: np.ndarray = None  # (D*n_pad,) int32
 
     @staticmethod
     def build(edges: EdgeSet, n: int, num_robots: int,
               offsets, num_poses, n_pad: Optional[int] = None,
               e_loop_pad: Optional[int] = None,
               windowed: bool = False,
-              win_w_force: Optional[int] = None) -> "KernelGraph":
+              win_w_force: Optional[int] = None,
+              diag_min: Optional[int] = None,
+              diags_force: Optional[Tuple[int, ...]] = None,
+              ) -> "KernelGraph":
         src = np.asarray(edges.src)
         dst = np.asarray(edges.dst)
         R = np.asarray(edges.R, np.float32)
@@ -172,6 +219,42 @@ class KernelGraph:
                 claimed[s] = True
             else:
                 loop_edges.append(e)
+
+        # --- diagonal class selection among non-chain edges ----------------
+        if diags_force is not None:
+            diags2 = tuple(
+                int(x) for x in diags_force if int(x) not in (0, 1)
+            )
+        else:
+            dmin = diag_min if diag_min is not None else max(
+                64, n_pad // 16
+            )
+            from collections import Counter
+
+            cnt = Counter(int(dst[e]) - int(src[e]) for e in loop_edges)
+            cnt.pop(1, None)
+            cnt.pop(0, None)
+            diags2 = tuple(
+                sorted(
+                    (dd for dd, c in cnt.items() if c >= dmin),
+                    key=lambda dd: (-cnt[dd], dd),
+                )[:MAX_DIAGS]
+            )
+        D = max(1, len(diags2))
+        diag_lane = np.full((E_pad,), D * n_pad, np.int32)
+        dclaimed = np.zeros((len(diags2), n_pad), bool)
+        dindex = {dd: j for j, dd in enumerate(diags2)}
+        rest = []
+        for e in loop_edges:
+            dd = int(dst[e]) - int(src[e])
+            s = int(src[e])
+            j = dindex.get(dd)
+            if j is not None and not dclaimed[j, s]:
+                diag_lane[e] = j * n_pad + s
+                dclaimed[j, s] = True
+            else:
+                rest.append(e)
+        loop_edges = rest
         E_loop = len(loop_edges)
         E_loop_pad = e_loop_pad or max(_rup(E_loop, CHUNK // 2), CHUNK // 2)
         assert E_loop_pad >= E_loop and E_loop_pad % (CHUNK // 2) == 0
@@ -235,6 +318,21 @@ class KernelGraph:
         for slot, e in enumerate(loop_edges):
             loop_edge_of_slot[slot] = e
 
+        diag_R = np.zeros((D * d * d, n_pad), np.float32)
+        for j in range(D):
+            diag_R[j * d * d:(j + 1) * d * d:d + 1, :] = 1.0  # identity
+        diag_t = np.zeros((D * d, n_pad), np.float32)
+        diag_edge_of_lane = np.full((D * n_pad,), E_pad, np.int32)
+        for e in range(E_pad):
+            fl = diag_lane[e]
+            if fl < D * n_pad:
+                j, lane = divmod(int(fl), n_pad)
+                diag_edge_of_lane[fl] = e
+                for k in range(d):
+                    for b in range(d):
+                        diag_R[j * d * d + k * d + b, lane] = R[e, k, b]
+                    diag_t[j * d + k, lane] = t[e, k]
+
         return KernelGraph(
             n=n,
             n_pad=n_pad,
@@ -256,6 +354,11 @@ class KernelGraph:
             loop_edge_of_slot=loop_edge_of_slot,
             loop_win_off=loop_win_off,
             loop_win_w=loop_win_w,
+            diags2=diags2,
+            diag_R=diag_R,
+            diag_t=diag_t,
+            diag_lane_of_edge=diag_lane,
+            diag_edge_of_lane=diag_edge_of_lane,
         )
 
     def with_rank(self, r: int) -> "KernelGraph":
@@ -280,25 +383,72 @@ class KernelGraph:
             : self.E_loop_pad][None, :]
         twl = jnp.zeros((self.E_loop_pad + 1,), jnp.float32).at[ll].add(tw)[
             : self.E_loop_pad][None, :]
-        return kwc, twc, kwl, twl
+        D = max(1, len(self.diags2))
+        dl = jnp.asarray(self.diag_lane_of_edge)
+        kwd = jnp.zeros((D * self.n_pad + 1,), jnp.float32).at[dl].add(kw)[
+            : D * self.n_pad].reshape(D, self.n_pad)
+        twd = jnp.zeros((D * self.n_pad + 1,), jnp.float32).at[dl].add(tw)[
+            : D * self.n_pad].reshape(D, self.n_pad)
+        return kwc, twc, kwl, twl, kwd, twd
 
     def weight_rows_arrays(self):
-        """The (chain_edge_of_lane, loop_edge_of_slot) inverse maps as device
-        arrays — see :func:`weight_rows_gather`."""
+        """The (chain_edge_of_lane, loop_edge_of_slot, diag_edge_of_lane)
+        inverse maps as device arrays — see :func:`weight_rows_gather`."""
         return (
             jnp.asarray(self.chain_edge_of_lane),
             jnp.asarray(self.loop_edge_of_slot),
+            jnp.asarray(self.diag_edge_of_lane),
         )
 
     def constants(self):
-        """Static device constants (chain/loop geometry + indices)."""
+        """Static device constants (chain/loop/diagonal geometry + indices)."""
         return (
             jnp.asarray(self.loop_idx2),
             jnp.asarray(self.chain_R),
             jnp.asarray(self.chain_t),
             jnp.asarray(self.loop_R),
             jnp.asarray(self.loop_t),
+            jnp.asarray(self.diag_R),
+            jnp.asarray(self.diag_t),
         )
+
+    def oh_table_np(self) -> np.ndarray:
+        """The stacked (n_pad, 2·E_loop_pad) bf16 one-hot table: columns
+        [0, E_loop_pad) are src endpoint one-hots, [E_loop_pad, 2·E_loop_pad)
+        dst. Padded slots carry index 0 (row 0 set), exactly matching the
+        chunked path's ``iota == 0`` behaviour — inert because their weight
+        rows are zero. One-hot entries are exact in bf16."""
+        import ml_dtypes
+
+        E2 = 2 * self.E_loop_pad
+        tab = np.zeros((self.n_pad, E2), ml_dtypes.bfloat16)
+        tab[self.loop_idx2[0], np.arange(E2)] = 1.0
+        return tab
+
+    def oh_table(self) -> jnp.ndarray:
+        """Device bf16 one-hot table (see :meth:`oh_table_np`)."""
+        return jnp.asarray(self.oh_table_np(), jnp.bfloat16)
+
+    def table_bytes(self) -> int:
+        """VMEM bytes of the precomputed one-hot table."""
+        return self.n_pad * 2 * self.E_loop_pad * 2
+
+    def want_tabled(self) -> bool:
+        """Opt-in (DPGO_FUSED_TABLED=1) precomputed-table kernel. Measured
+        on v5e (docs/PERFORMANCE.md roofline): the tabled path is ~19%
+        SLOWER than the windowed chunked path on sphere2500 — MXU one-hot
+        time is ∝ K·N area regardless of the ≤128 LHS rows, so the
+        unwindowed full-width table matmuls cost more than on-the-fly
+        windowed one-hot construction, whose VPU cost overlaps the MXU.
+        Kept as an explicitly-selectable variant + the measurement's
+        witness; the diagonal-class extraction (diags2) is the path that
+        actually removes one-hot work."""
+        import os
+
+        env = os.environ.get("DPGO_FUSED_TABLED")
+        if env is not None and env not in ("0", "false", "False"):
+            return self.table_bytes() <= TABLE_VMEM_BUDGET
+        return False
 
 
 def build_kernel_graph(problem, r: Optional[int] = None) -> KernelGraph:
@@ -341,6 +491,9 @@ def _make_rtr_kernel(
     interpret: bool,
     windowed: bool = False,
     win_w: int = 0,
+    tabled: bool = False,
+    diags2: Tuple[int, ...] = (),
+    has_loops: bool = True,
 ):
     """Compile-cached pallas_call for one full RTR block solve."""
     from jax.experimental import pallas as pl
@@ -350,13 +503,20 @@ def _make_rtr_kernel(
     n_chunks_l = E_loop_pad // CHUNK
     tail_l = E_loop_pad - n_chunks_l * CHUNK  # 0 or 256 (multiple of 256)
     EPS = 1e-30  # fp32-representable guard (XLA path uses 1e-300 in fp64)
+    windowed = windowed and has_loops and not tabled
 
     def kernel(
         xt_ref, mask_ref, pinv_ref, kwc_ref, twc_ref, kwl_ref, twl_ref,
         idx2_ref, Rc_ref, tc_ref, Rl_ref, tl_ref,
+        d2R_ref, d2t_ref, kwd_ref, twd_ref,
         *rest,
     ):
-        if windowed:
+        # tabled path: idx2_ref slot carries the precomputed one-hot table
+        oh_ref = idx2_ref if tabled else None
+        if tabled:
+            xout_ref, stats_ref = rest
+            wins_ref = thl_ref = acc_ref = None
+        elif windowed:
             wins_ref, xout_ref, stats_ref, acc_ref, thl_ref = rest
         else:
             xout_ref, stats_ref, acc_ref = rest
@@ -375,6 +535,14 @@ def _make_rtr_kernel(
 
         def shift_right(A):  # lane i ← A[:, i-1]
             return jnp.concatenate([zcol, A[:, :-1]], axis=1)
+
+        def shift_by(A, delta):  # lane i ← A[:, i+delta], zero-filled
+            if delta == 0:
+                return A
+            z = jnp.zeros((A.shape[0], abs(delta)), A.dtype)
+            if delta > 0:
+                return jnp.concatenate([A[:, delta:], z], axis=1)
+            return jnp.concatenate([z, A[:, :delta]], axis=1)
 
         # ---- edge algebra (shared chain/loop; all row-wise VPU) -----------
         def edge_terms(Vi, Vj, Rv, tv, kw, tw):
@@ -473,13 +641,56 @@ def _make_rtr_kernel(
             return f + fc
 
         def egrad_and_cost(T):
-            """(∇f(T), f(T)) over chain + loop edges — the Q operator."""
+            """(∇f(T), f(T)) over chain + diagonal + loop edges — Q."""
             Vi = T
             Vj = shift_left(T)
             kr1, tr2, f = edge_terms(Vi, Vj, Rc, tc, kwc, twc)
             Ci, Cj = edge_contribs(kr1, tr2, Rc, tc)
             G = Ci + shift_right(Cj)
+
+            # diagonal classes: gather = static Δ-lane shift, scatter-add =
+            # the −Δ shift — a full-lane VPU edge pass per class, zero MXU
+            for j, delta in enumerate(diags2):
+                Rv = d2R_ref[j * d * d:(j + 1) * d * d, :]
+                tv = d2t_ref[j * d:(j + 1) * d, :]
+                kw = kwd_ref[j:j + 1, :]
+                tw = twd_ref[j:j + 1, :]
+                kr1d, tr2d, fd = edge_terms(
+                    T, shift_by(T, delta), Rv, tv, kw, tw
+                )
+                Cid, Cjd = edge_contribs(kr1d, tr2d, Rv, tv)
+                G = G + Cid + shift_by(Cjd, -delta)
+                f = f + fd
+
+            if not has_loops:
+                return G, f
             Thl = _hilo(T)
+
+            if tabled:
+                # precomputed one-hot table: ONE full-width MXU gather and
+                # ONE NT scatter per Q-application — no iota-compare one-hot
+                # construction, no chunk loop (the round-2 VPU bottleneck)
+                E = E_loop_pad
+                oh = oh_ref[:]  # (n_pad, 2E) bf16 [src | dst]
+                V2 = jax.lax.dot_general(
+                    Thl, oh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                Vi_l = V2[:C, :E] + V2[C:, :E]
+                Vj_l = V2[:C, E:] + V2[C:, E:]
+                Rv = Rl_ref[:]
+                tv = tl_ref[:]
+                kw = kwl_ref[:]
+                tw = twl_ref[:]
+                kr1l, tr2l, fl = edge_terms(Vi_l, Vj_l, Rv, tv, kw, tw)
+                Cil, Cjl = edge_contribs(kr1l, tr2l, Rv, tv)
+                Chl = jnp.concatenate([_hilo(Cil), _hilo(Cjl)], axis=1)
+                A = jax.lax.dot_general(
+                    Chl, oh, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                return G + A[:C] + A[C:], f + fl
+
             acc_ref[:] = jnp.zeros((2 * C, n_pad), jnp.float32)
 
             if windowed:
@@ -732,13 +943,24 @@ def _make_rtr_kernel(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 12
-    scratch = [
-        pltpu.VMEM((2 * C, n_pad), jnp.float32),  # scatter accumulator
-    ]
-    if windowed:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # windows/256
-        scratch.append(pltpu.VMEM((2 * C, n_pad), jnp.bfloat16))  # hi/lo X
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 16
+    compiler_params = None
+    if tabled:
+        scratch = []
+        # Mosaic's scoped-stack accounting charges the table ~3× (input +
+        # one materialized copy per matmul orientation); proven ceiling
+        # ~112 MB on this v5e (see docs/PERFORMANCE.md VMEM probe)
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 2**20,
+        )
+    else:
+        scratch = [
+            pltpu.VMEM((2 * C, n_pad), jnp.float32),  # scatter accumulator
+        ]
+        if windowed:
+            # windows/256 row in SMEM
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+            scratch.append(pltpu.VMEM((2 * C, n_pad), jnp.bfloat16))  # X hilo
     return pl.pallas_call(
         kernel,
         out_shape=(
@@ -751,6 +973,7 @@ def _make_rtr_kernel(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=scratch,
+        compiler_params=compiler_params,
         interpret=interpret,
     )
 
@@ -765,15 +988,21 @@ def rtr_solve_fused(
     interpret: bool = False,
     consts=None,
     wins: Optional[jnp.ndarray] = None,
+    oh: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One full RTR block solve as a single Pallas kernel.
 
     Args: transposed state (C, n_pad), (1, n_pad) block-mask row, transposed
     block-Jacobi inverse, per-lane weight rows from
-    :meth:`KernelGraph.weight_rows`, and RTRParams.
+    :meth:`KernelGraph.weight_rows`, and RTRParams. Passing ``oh`` (the
+    precomputed bf16 one-hot table from :meth:`KernelGraph.oh_table`)
+    selects the tabled kernel — the fast path whenever the table fits VMEM
+    (:meth:`KernelGraph.want_tabled`).
 
     Returns (Xt_new, stats) — stats layout at module top.
     """
+    tabled = oh is not None
+    has_loops = kg.E_loop > 0
     fk = _make_rtr_kernel(
         kg.n_pad,
         kg.E_loop_pad,
@@ -792,11 +1021,19 @@ def rtr_solve_fused(
         interpret,
         kg.loop_win_off is not None,
         int(kg.loop_win_w),
+        tabled,
+        tuple(kg.diags2),
+        has_loops,
     )
-    idx2, Rc, tc, Rl, tl = consts if consts is not None else kg.constants()
-    kwc, twc, kwl, twl = wrows
-    args = [Xt, mask_row, pinv_t, kwc, twc, kwl, twl, idx2, Rc, tc, Rl, tl]
-    if kg.loop_win_off is not None:
+    cs = consts if consts is not None else kg.constants()
+    idx2, Rc, tc, Rl, tl, d2R, d2t = cs
+    kwc, twc, kwl, twl, kwd, twd = wrows
+    first = oh if tabled else idx2
+    args = [
+        Xt, mask_row, pinv_t, kwc, twc, kwl, twl, first, Rc, tc, Rl, tl,
+        d2R, d2t, kwd, twd,
+    ]
+    if kg.loop_win_off is not None and has_loops and not tabled:
         if wins is None:
             wins = wins_row(kg)
         args.append(wins)
@@ -817,6 +1054,8 @@ def weight_rows_gather(
     weights: jnp.ndarray,
     chain_edge_of_lane: jnp.ndarray,
     loop_edge_of_slot: jnp.ndarray,
+    diag_edge_of_lane: jnp.ndarray,
+    n_pad: int,
 ):
     """Per-lane effective-weight rows via GATHERS over the inverse lane maps
     (each lane/slot is claimed by at most one edge) — cheap enough to run
@@ -824,7 +1063,8 @@ def weight_rows_gather(
     :meth:`KernelGraph.weight_rows`.
 
     All edge arrays are (E_pad,); out-of-range map entries (== E_pad) read a
-    appended zero. Returns (kwc, twc, kwl, twl) fp32 rows.
+    appended zero. Returns (kwc, twc, kwl, twl, kwd, twd) fp32 rows; the
+    diagonal rows are (D, n_pad) with D = diag_edge_of_lane.size // n_pad.
     """
     w = (weights * emask).astype(jnp.float32)
     kw = jnp.append(w * kappa.astype(jnp.float32), 0.0)
@@ -833,4 +1073,6 @@ def weight_rows_gather(
     twc = tw[chain_edge_of_lane][None, :]
     kwl = kw[loop_edge_of_slot][None, :]
     twl = tw[loop_edge_of_slot][None, :]
-    return kwc, twc, kwl, twl
+    kwd = kw[diag_edge_of_lane].reshape(-1, n_pad)
+    twd = tw[diag_edge_of_lane].reshape(-1, n_pad)
+    return kwc, twc, kwl, twl, kwd, twd

@@ -24,16 +24,20 @@ i.e. ≈ rate/100 local gradient steps happen per communication round. Here one
 max(1, round(asynchronous_rate / 100))`` local RGD steps per robot against
 frozen (stale) neighbor separators.
 
-Termination matches the synchronous engine (reference ``readyToTerminate``
-gossip): per-robot block-Frobenius movement per tick below
-``relative_change_tolerance`` for every robot — evaluated on-device inside
-the fused while_loop, zero host round-trips.
+Termination is the reference's ``readyToTerminate`` gossip analogue, but on
+a *per-tick movement* scale: every robot's block-Frobenius movement per tick
+must fall below ``asapp_tolerance`` (see ``utils/config.py``) — evaluated
+on-device inside the fused while_loop, zero host round-trips. This is
+deliberately a separate knob from the synchronous engine's
+``relative_change_tolerance``: a tick moves the block by γ·‖grad‖ (one or a
+few RGD steps), not by a full block solve, so the same numeric threshold
+means a far stricter stop in async mode.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -164,44 +168,76 @@ class ASAPPEngine:
             X=X_new, hist=hist, tick=st.tick + 1, key=key, rel_change=moved
         )
 
-    def make_fused_run(self, tol: float = 0.0):
+    def make_fused_run(self, tol: float = 0.0, record_upto: int = 0):
         """Jitted runner ``run(state, until_tick)``: async ticks as one XLA
         program — `lax.while_loop` with on-device relative-change
         termination (tol 0 disables early exit → exactly ``until_tick``).
         ``until_tick`` is a traced argument, so chunked drivers reuse one
-        compilation."""
+        compilation.
 
+        ``record_upto > 0`` collects per-tick (record_upto, R) relative
+        changes on-device (rows past the final tick stay NaN) and the
+        runner returns ``(state, rel_hist)`` — per-iteration CSV telemetry
+        without a host sync per tick (reference schema
+        ``src/PGOAgentROS.cpp:853-894``)."""
         @jax.jit
-        def run(st: ASAPPState, until_tick) -> ASAPPState:
-            def cond(s: ASAPPState):
+        def run(st: ASAPPState, until_tick, hist=None):
+            def cond(c):
+                s = c[0]
                 keep = s.tick < until_tick
                 if tol > 0:
                     keep = keep & ~jnp.all(s.rel_change < tol)
                 return keep
 
-            return jax.lax.while_loop(cond, self._tick_impl, st)
+            def body(c):
+                s, h = c
+                s2 = self._tick_impl(s)
+                if record_upto:
+                    h = h.at[s.tick].set(s2.rel_change)
+                return s2, h
+
+            h0 = hist if hist is not None else jnp.zeros((), jnp.int8)
+            s, h = jax.lax.while_loop(cond, body, (st, h0))
+            return (s, h) if record_upto else s
 
         return run
 
     def run(
         self,
-        X0: jnp.ndarray,
-        num_ticks: int,
+        X0: Optional[jnp.ndarray] = None,
+        num_ticks: int = 1000,
         chunk: int = 200,
         tol: float = 0.0,
+        state: Optional[ASAPPState] = None,
+        record: bool = False,
     ) -> Tuple[ASAPPState, dict]:
         """Run up to ``num_ticks`` asynchronous ticks (chunked fused
         while_loops — each chunk is one dispatch) with optional
-        relative-change termination at ``tol``."""
-        st = self.init_state(X0)
+        relative-change termination at ``tol``. Pass ``state`` (e.g. a
+        restored checkpoint) to continue a run instead of ``X0``;
+        ``record=True`` collects per-tick per-robot relative changes
+        (info["rel_hist"], NaN rows dropped) for CSV telemetry."""
+        st = state if state is not None else self.init_state(X0)
         e = self.problem.edges
         costs = [float(quadratic.cost(st.X, e))]
+        rel_rows = []
 
-        done = 0
-        runner = self.make_fused_run(tol)
+        done = int(st.tick)
+        t_anchor = done
+        runner = self.make_fused_run(tol, record_upto=int(record))
+        hist = (
+            jnp.full(
+                (num_ticks, self.problem.num_robots), jnp.nan, self.dtype
+            )
+            if record
+            else None
+        )
         while done < num_ticks:
             until = min(done + chunk, num_ticks)
-            st = runner(st, jnp.asarray(until, jnp.int32))
+            if record:
+                st, hist = runner(st, jnp.asarray(until, jnp.int32), hist)
+            else:
+                st = runner(st, jnp.asarray(until, jnp.int32))
             t = int(st.tick)
             costs.append(float(quadratic.cost(st.X, e)))
             converged = tol > 0 and bool(
@@ -211,10 +247,16 @@ class ASAPPEngine:
                 done = t
                 break
             done = t
+        if record:
+            h = np.asarray(hist, np.float64)
+            # ticks executed before this run (resume) are not in the buffer
+            rel_rows = h[~np.all(np.isnan(h), axis=1)]
         return st, {
             "costs": costs,
             "ticks": done,
+            "ticks_this_run": done - t_anchor,
             "converged": tol > 0
             and bool(np.all(np.asarray(st.rel_change) < tol)),
             "rel_change": np.asarray(st.rel_change).tolist(),
+            **({"rel_hist": rel_rows} if record else {}),
         }

@@ -145,6 +145,14 @@ class RBCDEngine:
         self._kg = (
             fused_rtr.build_kernel_graph(problem) if self._use_fused else None
         )
+        # precomputed bf16 one-hot gather/scatter table (VMEM-resident for
+        # the whole solve) — the round-3 fast path; None falls back to the
+        # chunked on-the-fly construction for tables too big for VMEM
+        self._kg_oh = (
+            self._kg.oh_table()
+            if self._use_fused and self._kg.want_tabled()
+            else None
+        )
 
         self._step_seq = jax.jit(self._step_sequential_impl)
         self._step_par = jax.jit(self._step_parallel_impl)
@@ -401,6 +409,7 @@ class RBCDEngine:
             Xt_new, stats = fused_rtr.rtr_solve_fused(
                 Xt, mrow, pt, wrows, kg, self.rtr_params,
                 interpret=self._interpret_fused,
+                oh=self._kg_oh,
             )
             X_new = jnp.where(
                 mask > 0,
@@ -631,6 +640,7 @@ class RBCDEngine:
             "iteration": [],
             "cost": [],
             "rel_change": [],
+            "rel_change_robots": [],  # (R,) per iteration — CSV telemetry
             "iter_time_sec": [],
             "event": [],
         }
@@ -688,6 +698,9 @@ class RBCDEngine:
             history["iteration"].append(it)
             history["cost"].append(float(state.cost))
             history["rel_change"].append(float(rc))
+            history["rel_change_robots"].append(
+                np.asarray(state.rel_change, np.float64)
+            )
             history["iter_time_sec"].append(dt)
             if callback is not None:
                 callback(it, state)
@@ -736,7 +749,7 @@ class RBCDEngine:
             )
         return state, info
 
-    def make_fused_run(self, max_iters: int):
+    def make_fused_run(self, max_iters: int, record: bool = False):
         """Return a jitted runner executing the FULL solve as one XLA program
         (`lax.while_loop` over block updates with on-device termination and
         GNC weight rounds under `lax.cond`) — the TPU-native hot path: zero
@@ -748,6 +761,13 @@ class RBCDEngine:
         semantics — DPGO resets the trajectory to the initial guess after
         early weight updates; wrapper param ``PGOAgentROSNode.cpp:213``).
         Uniform update rule uses the on-device PRNG.
+
+        With ``record=True`` the runner returns
+        ``(state, rel_hist, event_hist)`` — per-iteration (max_iters, R)
+        relative changes and (max_iters,) UPDATE_WEIGHT flags collected
+        on-device (the reference's per-iteration CSV telemetry fields,
+        ``src/PGOAgentROS.cpp:853-907``; rows past the final iteration are
+        NaN/0).
         """
         cfg = self.config
         prob = self.problem
@@ -758,8 +778,9 @@ class RBCDEngine:
 
         def make_do_iter(X_init):
           def do_iter(carry):
-            st, cache = carry
+            st, cache, rel_h, ev_h = carry
             i = st.iteration
+            wu_fired = jnp.asarray(False)
             if gnc:
                 def wu(args):
                     s, _ = args
@@ -782,10 +803,13 @@ class RBCDEngine:
                     # weights changed → refresh the cached solver constants
                     return s2, self._solver_cache(self._edges(s2.weights))
 
-                st, cache = jax.lax.cond(
+                wu_fired = (
                     (i > 0)
                     & (jnp.mod(i, inner) == 0)
-                    & (st.weight_update_count < cfg.robust_opt_num_weight_updates),
+                    & (st.weight_update_count < cfg.robust_opt_num_weight_updates)
+                )
+                st, cache = jax.lax.cond(
+                    wu_fired,
                     wu,
                     lambda a: a,
                     (st, cache),
@@ -803,11 +827,14 @@ class RBCDEngine:
                     jax.random.fold_in(key0, i), (), 0, prob.num_robots
                 )
                 st2, _ = self._step_sequential_impl(st, k, cache)
-            return st2, cache
+            if record:
+                rel_h = rel_h.at[i].set(st2.rel_change)
+                ev_h = ev_h.at[i].set(wu_fired.astype(jnp.int8))
+            return st2, cache, rel_h, ev_h
           return do_iter
 
         def cond_fn(carry):
-            st, _ = carry
+            st, *_ = carry
             ready = jnp.all(st.rel_change < tol)
             if gnc:
                 ready = ready & (
@@ -816,11 +843,20 @@ class RBCDEngine:
             return (st.iteration < max_iters) & ~ready
 
         @jax.jit
-        def run(st: RBCDState) -> RBCDState:
+        def run(st: RBCDState):
             cache = self._solver_cache(self._edges(st.weights))
-            out, _ = jax.lax.while_loop(
-                cond_fn, make_do_iter(st.X), (st, cache)
+            if record:
+                rel_h = jnp.full(
+                    (max_iters, prob.num_robots), jnp.nan, self.dtype
+                )
+                ev_h = jnp.zeros((max_iters,), jnp.int8)
+            else:
+                rel_h = ev_h = jnp.zeros((), jnp.int8)
+            out, _, rel_h, ev_h = jax.lax.while_loop(
+                cond_fn, make_do_iter(st.X), (st, cache, rel_h, ev_h)
             )
+            if record:
+                return out, rel_h, ev_h
             return out
 
         return run

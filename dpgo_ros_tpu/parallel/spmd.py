@@ -320,6 +320,38 @@ def build_spmd_step(
             )
             kgs.append(fused_rtr.KernelGraph.build(
                 e_m, M * n_max, 0, (), (), n_pad=n_pad, windowed=True))
+        def _build_m(m, **kw):
+            return fused_rtr.KernelGraph.build(
+                EdgeSet(
+                    src=sp.src[m], dst=sp.dst[m], R=sp.R[m], t=sp.t[m],
+                    kappa=sp.kappa[m], tau=sp.tau[m],
+                    weight=sp.weight[m], mask=sp.mask[m],
+                    is_loop=sp.is_loop[m],
+                ),
+                M * n_max, 0, (), (), n_pad=n_pad, windowed=True, **kw,
+            )
+
+        # one program across mesh slots needs a common static diagonal-class
+        # tuple: the union over devices (devices lacking a Δ carry zero
+        # weight rows for it), truncated to MAX_DIAGS by claimed-edge count
+        dunion = tuple(sorted(set().union(*[set(k.diags2) for k in kgs])))
+        if len(dunion) > fused_rtr.MAX_DIAGS:
+            from collections import Counter
+
+            freq = Counter()
+            for k in kgs:
+                E_pad_k = len(k.diag_lane_of_edge)
+                for j, dd in enumerate(k.diags2):
+                    lanes = k.diag_edge_of_lane[
+                        j * k.n_pad:(j + 1) * k.n_pad
+                    ]
+                    freq[dd] += int((lanes < E_pad_k).sum())
+            dunion = tuple(sorted(
+                dd for dd, _ in freq.most_common(fused_rtr.MAX_DIAGS)
+            ))
+        if any(tuple(k.diags2) != dunion for k in kgs):
+            # pass 1: common diagonal tuple (can change per-device E_loop)
+            kgs = [_build_m(m, diags_force=dunion) for m in range(M)]
         elp = max(
             max(k.E_loop_pad for k in kgs), fused_rtr.CHUNK // 2
         )
@@ -327,22 +359,20 @@ def build_spmd_step(
         if any(
             k.E_loop_pad != elp or k.loop_win_w != winw for k in kgs
         ):
-            # one program across mesh slots: common static E_loop_pad and
-            # window width; per-device window OFFSETS stay data (kg_wins)
+            # pass 2: common static E_loop_pad and window width; per-device
+            # window OFFSETS, geometry and weight rows stay data
             kgs = [
-                fused_rtr.KernelGraph.build(
-                    EdgeSet(
-                        src=sp.src[m], dst=sp.dst[m], R=sp.R[m], t=sp.t[m],
-                        kappa=sp.kappa[m], tau=sp.tau[m],
-                        weight=sp.weight[m], mask=sp.mask[m],
-                        is_loop=sp.is_loop[m],
-                    ),
-                    M * n_max, 0, (), (), n_pad=n_pad, e_loop_pad=elp,
-                    windowed=True, win_w_force=winw,
+                _build_m(
+                    m, e_loop_pad=elp, win_w_force=winw,
+                    diags_force=dunion,
                 )
                 for m in range(M)
             ]
-        kg0 = kgs[0].with_rank(sp.r)
+        # the kernel's static has_loops flag must hold for EVERY mesh slot
+        kg0 = dataclasses.replace(
+            kgs[0].with_rank(sp.r),
+            E_loop=max(k.E_loop for k in kgs),
+        )
         kg_consts = {
             "kg_idx2": np.stack([k.loop_idx2 for k in kgs]),
             "kg_cR": np.stack([k.chain_R for k in kgs]),
@@ -351,8 +381,18 @@ def build_spmd_step(
             "kg_lt": np.stack([k.loop_t for k in kgs]),
             "kg_cel": np.stack([k.chain_edge_of_lane for k in kgs]),
             "kg_les": np.stack([k.loop_edge_of_slot for k in kgs]),
+            "kg_del": np.stack([k.diag_edge_of_lane for k in kgs]),
+            "kg_d2R": np.stack([k.diag_R for k in kgs]),
+            "kg_d2t": np.stack([k.diag_t for k in kgs]),
             "kg_wins": np.stack([fused_rtr.wins_row(k) for k in kgs]),
         }
+        # precomputed per-device one-hot tables (same static shape, rows as
+        # sharded data) — round-3 tabled kernel path
+        spmd_tabled = kg0.want_tabled()
+        if spmd_tabled:
+            kg_consts["kg_oh"] = np.stack(
+                [k.oh_table_np() for k in kgs]
+            )
 
     # Static per-device tensors, device_put as *global* sharded arrays and
     # passed as jit arguments (NOT closed over: closing over an array that
@@ -425,7 +465,8 @@ def build_spmd_step(
             pinvT = fused_rtr.pinv_to_t(P_blocks, kg0.n_pad)
             wrows = fused_rtr.weight_rows_gather(
                 e.kappa, e.tau, e.mask, e.weight,
-                c["kg_cel"][0], c["kg_les"][0],
+                c["kg_cel"][0], c["kg_les"][0], c["kg_del"][0],
+                kg0.n_pad,
             )
             Xt_new, _ = fused_rtr.rtr_solve_fused(
                 Xt, mrow, pinvT, wrows, kg0, rtr,
@@ -433,8 +474,10 @@ def build_spmd_step(
                 consts=(
                     c["kg_idx2"][0], c["kg_cR"][0], c["kg_ct"][0],
                     c["kg_lR"][0], c["kg_lt"][0],
+                    c["kg_d2R"][0], c["kg_d2t"][0],
                 ),
                 wins=c["kg_wins"][0],
+                oh=c["kg_oh"][0] if spmd_tabled else None,
             )
             Z = fused_rtr.from_t(Xt_new, M * n_max, sp.r, sp.d + 1)
             return jnp.where(mask > 0, Z, Xfull)

@@ -86,3 +86,95 @@ class IterationLogger:
         if self._f is not None:
             self._f.close()
             self._f = None
+
+
+def separator_incoming_counts(problem) -> "list[int]":
+    """Per-robot count of distinct *incoming* separator poses: poses owned
+    by other robots that appear as an endpoint of an edge incident to the
+    robot — exactly what PublicPoses messages deliver to it each iteration
+    (reference ``publicPosesCallback`` → ``updateNeighborPoses``,
+    ``src/PGOAgentROS.cpp:1255-1284``)."""
+    import numpy as np
+
+    rof = np.asarray(problem.robot_of_pose)
+    src = np.asarray(problem.edges.src)
+    dst = np.asarray(problem.edges.dst)
+    msk = np.asarray(problem.edges.mask) > 0
+    sr, dr = rof[src], rof[dst]
+    counts = []
+    for k in range(problem.num_robots):
+        inc = msk & (((sr == k) & (dr != k)) | ((dr == k) & (sr != k)))
+        foreign = np.concatenate(
+            [src[inc & (sr != k)], dst[inc & (dr != k)]]
+        )
+        counts.append(int(np.unique(foreign).size))
+    return counts
+
+
+def write_run_logs(
+    log_directory: str,
+    *,
+    problem,
+    rel_change_rows,
+    iter_times=None,
+    events=None,
+    cluster_id: int = 0,
+    num_active: Optional[int] = None,
+    terminate: bool = True,
+) -> "list[str]":
+    """Write per-agent reference-schema CSVs for a completed engine/fused/
+    spmd/async run (reference writes one CSV per agent under
+    ``logs/agent<k>/``, ``src/PGOAgentROS.cpp:1017-1022``).
+
+    ``rel_change_rows``: (iters, R) per-robot relative changes (NaN rows —
+    unreached fused-run iterations — are dropped). ``iter_times``: per-
+    iteration wall seconds, or None → 0 (on-device fused runs have no
+    per-iteration host clock; callers may pass the mean). ``events``: list
+    of (iteration_index, name) interleaved rows. Returns written paths.
+    """
+    import numpy as np
+
+    rel = np.asarray(rel_change_rows, np.float64)
+    if rel.ndim == 1:
+        rel = rel[:, None] * np.ones((1, problem.num_robots))
+    valid = ~np.all(np.isnan(rel), axis=1)
+    rel = rel[valid]
+    iters = rel.shape[0]
+    R = problem.num_robots
+    num_active = num_active if num_active is not None else R
+    sep = separator_incoming_counts(problem)
+    times = (
+        np.asarray(iter_times, np.float64)[: iters]
+        if iter_times is not None
+        else np.zeros((iters,))
+    )
+    ev_by_iter: dict = {}
+    for it, name in events or []:
+        ev_by_iter.setdefault(int(it), []).append(str(name))
+    paths = []
+    t0 = time.time()
+    for k in range(R):
+        d = os.path.join(log_directory, f"agent{k}")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"dpgo_log_{int(t0)}.csv")
+        total = 0.0
+        with open(path, "w") as f:
+            f.write(HEADER + "\n")
+            for i in range(iters):
+                for name in ev_by_iter.get(i, []):
+                    f.write(f"{k},{name}\n")
+                total += float(times[i]) if i < len(times) else 0.0
+                bytes_rx = public_poses_msg_bytes(
+                    sep[k], problem.r, problem.d
+                )
+                rc = rel[i, k] if k < rel.shape[1] else rel[i, 0]
+                f.write(
+                    f"{k},{cluster_id},{num_active},{i + 1},"
+                    f"{int(problem.num_poses[k])},{bytes_rx},"
+                    f"{float(times[i]) if i < len(times) else 0.0:.6f},"
+                    f"{total:.6f},{rc:.6e}\n"
+                )
+            if terminate:
+                f.write(f"{k},TERMINATE\n")
+        paths.append(path)
+    return paths

@@ -43,7 +43,14 @@ from dpgo_ros_tpu.utils.config import (
 )
 
 RESULTS = {}
-ONLY = {int(a) for a in sys.argv[1:] if a.isdigit()} or {1, 2, 3, 4, 5}
+_ALL = {1, 2, 3, 4, 5}
+for _a in sys.argv[1:]:
+    if not (_a.isdigit() and int(_a) in _ALL):
+        sys.exit(
+            f"run_baselines.py: unrecognized argument {_a!r} — "
+            f"pass section numbers from {sorted(_ALL)} (none = all)"
+        )
+ONLY = {int(a) for a in sys.argv[1:]} or set(_ALL)
 
 
 def log(msg):
@@ -211,7 +218,8 @@ if 5 in ONLY:
 _out = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "baseline_results.json")
 merged = {}
-if len(ONLY) < 5 and os.path.exists(_out):
+if os.path.exists(_out):
+    # always merge: a partial run must never drop sections that didn't run
     with open(_out) as f:
         merged = json.load(f)
 merged.update(RESULTS)

@@ -183,6 +183,39 @@ def test_cli_spmd_checkpoint_resume_bitexact(tmp_path, capsys):
     assert resumed["iterations"] == full["iterations"]
 
 
+def test_cli_async_checkpoint_resume_bitexact(tmp_path, capsys):
+    """Async-mode persistence (VERDICT r2 #6): interrupt at 6 ticks, resume
+    to 12 — final cost must equal the uninterrupted 12-tick run bit-exactly
+    (the PRNG key, staleness ring buffer and tick counter all ride in
+    ASAPPState)."""
+    from dpgo_ros_tpu.cli import main
+
+    base = [
+        "--dataset", "tinyGrid3D", "--num_robots", "2", "--mode", "async",
+        "--platform", "cpu", "--update_rule", "RoundRobin",
+        "--local_initialization_method", "Odometry",
+        "--relative_change_tolerance", "0",
+    ]
+
+    def run(args):
+        assert main(base + args) == 0
+        out = [
+            l for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")
+        ][-1]
+        import json as _json
+
+        return _json.loads(out)
+
+    full = run(["--max_iteration_number", "12"])
+    cdir = str(tmp_path / "ack")
+    run(["--max_iteration_number", "6", "--checkpoint_dir", cdir])
+    resumed = run(["--max_iteration_number", "12", "--checkpoint_dir", cdir,
+                   "--resume", "latest"])
+    assert resumed["final_cost"] == full["final_cost"]
+    assert resumed["ticks"] == full["ticks"]
+
+
 def test_fleet_checkpoint_warm_resume(tmp_path):
     """Fleet-mode persistence: warm-start caches (the reference's in-memory
     across-round state, PGOAgentROS.cpp:354-361,1072-1075) survive a process

@@ -34,9 +34,11 @@ def test_kernel_graph_covers_all_edges(small_problem):
     prob = small_problem
     kg = fused_rtr.build_kernel_graph(prob)
     E_real = int(np.sum(np.asarray(prob.edges.mask) > 0))
+    D = max(1, len(kg.diags2))
     n_chain = int(np.sum(kg.chain_lane_of_edge < kg.n_pad))
     n_loop = int(np.sum(kg.loop_slot_of_edge < kg.E_loop_pad))
-    assert n_chain + n_loop == E_real
+    n_diag = int(np.sum(kg.diag_lane_of_edge < D * kg.n_pad))
+    assert n_chain + n_loop + n_diag == E_real
     assert kg.E_loop == n_loop
     # chain lanes really are consecutive-index edges
     src = np.asarray(prob.edges.src)
@@ -44,6 +46,25 @@ def test_kernel_graph_covers_all_edges(small_problem):
     lanes = kg.chain_lane_of_edge
     for e in np.where(lanes < kg.n_pad)[0]:
         assert dst[e] == src[e] + 1 and lanes[e] == src[e]
+    # diagonal lanes really are offset-Δ edges on the claimed lane
+    for e in np.where(kg.diag_lane_of_edge < D * kg.n_pad)[0]:
+        j, lane = divmod(int(kg.diag_lane_of_edge[e]), kg.n_pad)
+        assert lane == src[e]
+        assert dst[e] - src[e] == kg.diags2[j]
+
+
+def test_kernel_graph_diag_extraction(small_problem):
+    """Forcing a low threshold extracts smallGrid3D's banded loop closures
+    (offsets ±3/±5/±7/±9 of the 5×5×5 grid) into diagonal lane classes."""
+    prob = small_problem
+    kg = fused_rtr.KernelGraph.build(
+        prob.edges, prob.n, prob.num_robots, prob.offsets, prob.num_poses,
+        windowed=True, diag_min=10,
+    ).with_rank(prob.r)
+    assert len(kg.diags2) >= 4
+    kg0 = fused_rtr.build_kernel_graph(prob)
+    # every diagonal-claimed edge left the one-hot loop-slot set
+    assert kg.E_loop < kg0.E_loop or len(kg0.diags2) > 0
 
 
 def test_fused_single_solve_matches_xla(small_problem):
@@ -107,6 +128,36 @@ def test_fused_engine_run_matches_xla_engine(small_problem):
     c_fus = float(outs[True].cost)
     assert c_fus == pytest.approx(c_xla, rel=2e-3)
     assert int(outs[True].iteration) == int(outs[False].iteration)
+
+
+def test_fused_tabled_matches_chunked(small_problem):
+    """The opt-in precomputed-one-hot-table kernel is numerically identical
+    to the chunked on-the-fly path (same matmul semantics)."""
+    prob = small_problem
+    e = prob.edges
+    kg = fused_rtr.build_kernel_graph(prob)
+    params = RTRParams(max_iterations=2, max_tcg_iterations=20,
+                       gradnorm_tol=0.5)
+    X = _noisy_state(prob, key=11)
+    mask = prob.block_mask(1, jnp.float32)
+    Pinv = quadratic.precond_inverse(quadratic.precond_blocks(e, prob.n))
+    common = (
+        fused_rtr.to_t(X, kg.n_pad),
+        fused_rtr.mask_to_row(mask, kg.n_pad),
+        fused_rtr.pinv_to_t(Pinv, kg.n_pad),
+        kg.weight_rows(e, e.weight),
+        kg,
+        params,
+    )
+    interp = jax.default_backend() != "tpu"
+    X_c, s_c = fused_rtr.rtr_solve_fused(*common, interpret=interp)
+    X_t, s_t = fused_rtr.rtr_solve_fused(
+        *common, interpret=interp, oh=kg.oh_table()
+    )
+    np.testing.assert_allclose(
+        np.asarray(X_t), np.asarray(X_c), rtol=1e-5, atol=1e-5
+    )
+    assert int(s_t[0, 4]) == int(s_c[0, 4])
 
 
 def test_weight_rows_reproduce_cost(small_problem):
@@ -186,7 +237,9 @@ def test_weight_rows_gather_matches_scatter(small_problem):
     kg = fused_rtr.build_kernel_graph(prob)
     w = jax.random.uniform(jax.random.PRNGKey(5), (e.num_edges,), jnp.float32)
     ref = kg.weight_rows(e, w)
-    cel, les = kg.weight_rows_arrays()
-    got = fused_rtr.weight_rows_gather(e.kappa, e.tau, e.mask, w, cel, les)
+    cel, les, del_ = kg.weight_rows_arrays()
+    got = fused_rtr.weight_rows_gather(
+        e.kappa, e.tau, e.mask, w, cel, les, del_, kg.n_pad
+    )
     for a, b in zip(ref, got):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
