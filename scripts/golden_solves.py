@@ -1,0 +1,102 @@
+"""Certified golden optima for every bundled g2o dataset.
+
+Runs the centralized Riemannian-staircase certified solve
+(``models/certified.py``) at fp64 on each dataset and records the certified
+global optimum, closing VERDICT round-2 item #4 (parking-garage golden) and
+upgrading the whole docs/PERFORMANCE.md golden table from "tight solve" to
+"certified global optimum of our dataset copy" — which settles the
+sphere2500 1693.5-vs-1687.0 question as a dataset-copy difference by proof
+rather than by assumption (the SE-Sync published f* belongs to a different
+copy of the file; ours is certified optimal for ours).
+
+Writes ``golden_optima.json`` at the repo root (merge semantics: re-running
+a subset of datasets updates only those entries).
+
+Usage: python scripts/golden_solves.py [dataset ...]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from dpgo_ros_tpu.io.datasets import load_g2o_dataset
+from dpgo_ros_tpu.models.certified import certified_solve
+
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "golden_optima.json",
+)
+
+# SE-Sync published global optima (Rosen et al., IJRR 2019, Table 3) for
+# datasets of the same name — provenance cross-check only; the bundled
+# copies may differ (sphere2500 demonstrably does).
+SESYNC_F = {
+    "sphere2500": 1687.0,
+    "parking-garage": 1.26,
+    "cubicle": 717.1,
+    "torus3D": 24227.0,
+}
+
+# per-dataset solver budgets: (rtr_rounds, lanczos note) — the ill-
+# conditioned parking garage needs a deep tCG budget to grind the long
+# corridor modes; the bigger sets just need wall-clock.
+CONFIGS = {
+    "tinyGrid3D": dict(),
+    "smallGrid3D": dict(),
+    "parking-garage": dict(
+        rtr_iterations=400, rtr_tcg_iterations=1000, rtr_rounds=40,
+        gradnorm_tol=1e-7,
+    ),
+    "sphere2500": dict(rtr_rounds=30, gradnorm_tol=1e-6),
+    "torus3D": dict(rtr_rounds=30, gradnorm_tol=1e-6),
+    "cubicle": dict(rtr_rounds=30, gradnorm_tol=1e-6),
+}
+
+
+def main():
+    names = sys.argv[1:] or list(CONFIGS)
+    for a in names:
+        if a not in CONFIGS:
+            sys.exit(
+                f"golden_solves.py: unknown dataset {a!r} "
+                f"(choose from {sorted(CONFIGS)})"
+            )
+    results = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            results = json.load(f)
+    for name in names:
+        t0 = time.time()
+        print(f"=== {name} ===", flush=True)
+        data = load_g2o_dataset(name, num_robots=1)
+        res = certified_solve(data, verbose=True, **CONFIGS[name])
+        entry = {
+            "certified_global_optimum": res.cost,
+            "rounded_cost": res.rounded_cost,
+            "certified": res.certified,
+            "rank": res.rank,
+            "ranks_tried": list(res.ranks_tried),
+            "min_eig": res.min_eig,
+            "crit_residual": res.crit_residual,
+            "sesync_published_f": SESYNC_F.get(name),
+            "wall_sec": round(time.time() - t0, 1),
+        }
+        results[name] = entry
+        print(f"{name}: {entry}", flush=True)
+        with open(OUT, "w") as f:
+            json.dump(results, f, indent=2)
+    print(f"wrote {OUT}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
