@@ -31,9 +31,14 @@ from dpgo_ros_tpu.ops.quadratic import EdgeSet
 
 class CertifiedResult(NamedTuple):
     X: jnp.ndarray  # final lifted solution (n, r_final, d+1)
-    T: np.ndarray  # rounded SE(d) trajectory (n, d, d+1)
+    T: np.ndarray  # rounded(+refined) SE(d) trajectory (n, d, d+1)
     cost: float  # f(X) — the certified SDP optimum when certified
-    rounded_cost: float  # f of the rank-d rounding (== cost when tight)
+    rounded_cost: float  # f of the raw rank-d rounding
+    refined_cost: float  # f after rank-d local refinement of the rounding;
+    # == cost (to solver tolerance) ⟺ the relaxation is tight and T is the
+    # certified global SE(d) optimum (parking-garage: the SDP face contains
+    # a rank-4 optimizer the staircase lands on, raw rounding gives 1.77,
+    # refinement recovers the rank-3 optimizer at the SDP value 1.26256)
     certified: bool
     rank: int
     min_eig: float
@@ -139,19 +144,29 @@ def certified_solve(
     T = np.asarray(
         rounding.anchor_to_first_pose(rounding.round_solution(X))
     )
-    # cost of the rank-d rounding: evaluate in the unlifted (r = d) problem —
-    # the PGO cost is invariant to the frame choice, so lift by [I_d; 0]
-    lift_id = jnp.concatenate(
-        [jnp.eye(d, dtype=dtype),
-         jnp.zeros((X.shape[1] - d, d), dtype)], axis=0
-    )
-    Xr = stiefel.lift_trajectory(jnp.asarray(T, dtype), lift_id)
+    # cost of the rank-d rounding: evaluate at r = d — the PGO cost is
+    # gauge-invariant, so lift by I_d
+    eye_d = jnp.eye(d, dtype=dtype)
+    Xr = stiefel.lift_trajectory(jnp.asarray(T, dtype), eye_d)
     rounded_cost = float(quadratic.cost(Xr, e))
+    # SE-Sync-style local refinement of the rounding at rank d: when the
+    # SDP face contains optimizers of rank > d, the raw SVD rounding is a
+    # nearby but suboptimal SE(d) point; a rank-d RTR from it recovers the
+    # rank-d optimizer (refined == cost ⟹ tight ⟹ T is certified optimal)
+    Xr, _res = _tight_rtr(Xr, e, params, rtr_rounds)
+    refined_cost = float(quadratic.cost(Xr, e))
+    if refined_cost < rounded_cost:
+        T = np.asarray(
+            rounding.anchor_to_first_pose(
+                rounding.round_solution(Xr)
+            )
+        )
     return CertifiedResult(
         X=X,
         T=T,
         cost=float(quadratic.cost(X, e)),
         rounded_cost=rounded_cost,
+        refined_cost=refined_cost,
         certified=bool(cert.is_global),
         rank=int(X.shape[1]),
         min_eig=float(cert.min_eig),

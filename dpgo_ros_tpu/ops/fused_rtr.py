@@ -545,21 +545,27 @@ def _make_rtr_kernel(
             return jnp.concatenate([z, A[:, :delta]], axis=1)
 
         # ---- edge algebra (shared chain/loop; all row-wise VPU) -----------
-        def edge_terms(Vi, Vj, Rv, tv, kw, tw):
+        def edge_terms(Vi, Vj, Rv, tv, kw, tw, with_f=True):
             """Residual terms: kr1 (list d of (r,N)) = 2·kw·r1_b,
-            tr2 (r,N) = 2·tw·r2, f = Σ kw‖r1‖² + tw‖r2‖²."""
+            tr2 (r,N) = 2·tw·r2, f = Σ kw‖r1‖² + tw‖r2‖².
+
+            ``with_f=False`` (Hessian-vector applications) skips the cost
+            accumulation — d+1 full-array multiply+scalar-reduce passes per
+            edge class that the tCG loop never reads."""
             kr1 = []
             f = jnp.zeros((), jnp.float32)
             for b in range(d):
                 acc = Vj[b * r:(b + 1) * r]
                 for k in range(d):
                     acc = acc - Vi[k * r:(k + 1) * r] * Rv[k * d + b][None, :]
-                f = f + jnp.sum(kw * (acc * acc))
+                if with_f:
+                    f = f + jnp.sum(kw * (acc * acc))
                 kr1.append(2.0 * kw * acc)
             r2 = Vj[d * r:(d + 1) * r] - Vi[d * r:(d + 1) * r]
             for k in range(d):
                 r2 = r2 - Vi[k * r:(k + 1) * r] * tv[k][None, :]
-            f = f + jnp.sum(tw * (r2 * r2))
+            if with_f:
+                f = f + jnp.sum(tw * (r2 * r2))
             tr2 = 2.0 * tw * r2
             return kr1, tr2, f
 
@@ -576,7 +582,7 @@ def _make_rtr_kernel(
             Cj = jnp.concatenate(kr1 + [tr2], axis=0)
             return Ci, Cj
 
-        def loop_edges_apply(Thl, off, width, f, woff=None):
+        def loop_edges_apply(Thl, off, width, f, woff=None, with_f=True):
             """Fused gather → edge compute → scatter-add for one chunk of
             loop slots. Each endpoint one-hot is built ONCE and used in both
             matmul orientations — as the gather RHS (contract n_pad) and as
@@ -622,7 +628,7 @@ def _make_rtr_kernel(
             tv = tl_ref[:, pl.ds(off, width)]
             kw = kwl_ref[:, pl.ds(off, width)]
             tw = twl_ref[:, pl.ds(off, width)]
-            kr1, tr2, fc = edge_terms(Vi, Vj, Rv, tv, kw, tw)
+            kr1, tr2, fc = edge_terms(Vi, Vj, Rv, tv, kw, tw, with_f)
             Ci, Cj = edge_contribs(kr1, tr2, Rv, tv)
             ci_hilo = jax.lax.dot_general(
                 _hilo(Ci), oh_s, (((1,), (1,)), ((), ())),
@@ -640,11 +646,12 @@ def _make_rtr_kernel(
             )
             return f + fc
 
-        def egrad_and_cost(T):
-            """(∇f(T), f(T)) over chain + diagonal + loop edges — Q."""
+        def egrad_and_cost(T, with_f=True):
+            """(∇f(T), f(T)) over chain + diagonal + loop edges — Q.
+            ``with_f=False`` skips every cost reduction (tCG hot path)."""
             Vi = T
             Vj = shift_left(T)
-            kr1, tr2, f = edge_terms(Vi, Vj, Rc, tc, kwc, twc)
+            kr1, tr2, f = edge_terms(Vi, Vj, Rc, tc, kwc, twc, with_f)
             Ci, Cj = edge_contribs(kr1, tr2, Rc, tc)
             G = Ci + shift_right(Cj)
 
@@ -656,7 +663,7 @@ def _make_rtr_kernel(
                 kw = kwd_ref[j:j + 1, :]
                 tw = twd_ref[j:j + 1, :]
                 kr1d, tr2d, fd = edge_terms(
-                    T, shift_by(T, delta), Rv, tv, kw, tw
+                    T, shift_by(T, delta), Rv, tv, kw, tw, with_f
                 )
                 Cid, Cjd = edge_contribs(kr1d, tr2d, Rv, tv)
                 G = G + Cid + shift_by(Cjd, -delta)
@@ -682,7 +689,7 @@ def _make_rtr_kernel(
                 tv = tl_ref[:]
                 kw = kwl_ref[:]
                 tw = twl_ref[:]
-                kr1l, tr2l, fl = edge_terms(Vi_l, Vj_l, Rv, tv, kw, tw)
+                kr1l, tr2l, fl = edge_terms(Vi_l, Vj_l, Rv, tv, kw, tw, with_f)
                 Cil, Cjl = edge_contribs(kr1l, tr2l, Rv, tv)
                 Chl = jnp.concatenate([_hilo(Cil), _hilo(Cjl)], axis=1)
                 A = jax.lax.dot_general(
@@ -703,7 +710,7 @@ def _make_rtr_kernel(
                 def wbody(cidx, facc):
                     wo = wins_ref[0, cidx] * 256
                     return loop_edges_apply(
-                        Thl, cidx * CHUNK, CHUNK, facc, wo
+                        Thl, cidx * CHUNK, CHUNK, facc, wo, with_f
                     )
 
                 if n_chunks_l:
@@ -711,17 +718,19 @@ def _make_rtr_kernel(
                 if tail_l:
                     f = loop_edges_apply(
                         Thl, n_chunks_l * CHUNK, tail_l, f,
-                        wins_ref[0, n_chunks_l] * 256,
+                        wins_ref[0, n_chunks_l] * 256, with_f,
                     )
             else:
                 def body(cidx, facc):
-                    return loop_edges_apply(Thl, cidx * CHUNK, CHUNK, facc)
+                    return loop_edges_apply(
+                        Thl, cidx * CHUNK, CHUNK, facc, None, with_f
+                    )
 
                 if n_chunks_l:
                     f = jax.lax.fori_loop(0, n_chunks_l, body, f)
                 if tail_l:
                     f = loop_edges_apply(
-                        Thl, n_chunks_l * CHUNK, tail_l, f
+                        Thl, n_chunks_l * CHUNK, tail_l, f, None, with_f
                     )
             A = acc_ref[:]
             return G + A[:C] + A[C:], f
@@ -788,7 +797,7 @@ def _make_rtr_kernel(
         # ---- truncated CG ---------------------------------------------------
         def hess(Xv, Ssym, V):
             """mask ∘ (proj(egrad(V) − VY·sym(YᵀG_Y)))  — rhess_vp."""
-            EH, _ = egrad_and_cost(V)
+            EH, _ = egrad_and_cost(V, with_f=False)
             rows = []
             for b in range(d):
                 acc = EH[b * r:(b + 1) * r]
@@ -944,7 +953,6 @@ def _make_rtr_kernel(
     from jax.experimental.pallas import tpu as pltpu
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 16
-    compiler_params = None
     if tabled:
         scratch = []
         # Mosaic's scoped-stack accounting charges the table ~3× (input +
@@ -954,6 +962,12 @@ def _make_rtr_kernel(
             vmem_limit_bytes=112 * 2**20,
         )
     else:
+        # the default 16 MB scoped-VMEM cap is conservative (v5e has 128 MB);
+        # big-n problems (cubicle n_pad=5888, D=4 diag classes) exceed it
+        # once XLA wraps the call in a loop with double-buffered copies
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20,
+        )
         scratch = [
             pltpu.VMEM((2 * C, n_pad), jnp.float32),  # scatter accumulator
         ]

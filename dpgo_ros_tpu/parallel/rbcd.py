@@ -749,6 +749,210 @@ class RBCDEngine:
             )
         return state, info
 
+    def _make_fused_run_t(self, max_iters: int, record: bool = False):
+        """Transposed-resident fused runner (round 3): the entire solve loop
+        keeps the state in the kernel's (C, n_pad) layout.
+
+        Rationale: the fused kernel's device time on sphere2500 is ~66 µs
+        per forced-budget block solve (ROOFLINE.json), but the round-2 fused
+        runner paid ~0.55 ms/step in XLA glue around it — to_t/from_t layout
+        transposes, a scatter-based per-robot rel-change reduction, and mask
+        selects, each a separate fusion on a runtime with a high per-fusion
+        floor. Here the while_loop carries Xt directly; the per-robot
+        displacement and was-updated flags come from the kernel's own stats
+        row (_S_MOVED/_S_UPD — computed in-kernel from static block
+        offsets), the masked-lane restore is a single row-broadcast select,
+        and the natural-layout state is materialized only at the end and
+        inside the (rare) GNC weight-round branch.
+
+        Semantics match make_fused_run exactly for non-accelerated configs
+        (pinned by tests/test_fused_rtr.py engine-equivalence); acceleration
+        keeps the round-2 path (the auxiliary-sequence retraction is not in
+        the kernel yet).
+        """
+        cfg = self.config
+        prob = self.problem
+        kg = self._kg
+        gnc = cfg.robust_cost_type != RobustCostType.L2
+        inner = cfg.robust_opt_inner_iters_per_robot * prob.num_robots
+        tol = cfg.relative_change_tolerance
+        key0 = jax.random.PRNGKey(cfg.seed)
+        R = prob.num_robots
+
+        # static transposed mask rows (robot blocks + color classes)
+        mrows = jnp.asarray(
+            np.concatenate(
+                [
+                    np.asarray(
+                        fused_rtr.mask_to_row(m, kg.n_pad), np.float32
+                    )
+                    for m in np.asarray(self._masks)
+                ],
+                axis=0,
+            )
+        )  # (R, n_pad)
+        crows = jnp.asarray(
+            np.concatenate(
+                [
+                    np.asarray(
+                        fused_rtr.mask_to_row(m, kg.n_pad), np.float32
+                    )
+                    for m in np.asarray(self._color_masks)
+                ],
+                axis=0,
+            )
+        )  # (num_colors, n_pad)
+        consts = kg.constants()
+        wins = (
+            jnp.asarray(fused_rtr.wins_row(kg))
+            if kg.loop_win_off is not None
+            else None
+        )
+        cel, les, dle = kg.weight_rows_arrays()
+        e0 = self.problem.edges
+
+        def cache_from_weights(weights):
+            e = self._edges(weights)
+            pt = fused_rtr.pinv_to_t(self._precond_inv(e), kg.n_pad)
+            wrows = fused_rtr.weight_rows_gather(
+                e0.kappa, e0.tau, e0.mask, weights, cel, les, dle,
+                kg.n_pad,
+            )
+            return pt, wrows
+
+        def make_do_iter(Xt_init):
+          def do_iter(carry):
+            Xt, it, cost, rel, weights, fixed, mu, wuc, cache, rel_h, ev_h = carry
+            wu_fired = jnp.asarray(False)
+            if gnc:
+                def wu(args):
+                    Xt_in, w_in, fx_in, mu_in, wuc_in, _ = args
+                    X = fused_rtr.from_t(Xt_in, prob.n, prob.r, prob.d + 1)
+                    s = RBCDState(
+                        X=X, X_prev=X, V=X,
+                        theta=jnp.asarray(1.0, self.dtype),
+                        iteration=it, cost=cost, rel_change=rel,
+                        weights=w_in, fixed_mask=fx_in, mu=mu_in,
+                        weight_update_count=wuc_in,
+                    )
+                    s2 = self._weight_update_impl(s)
+                    Xt_out = Xt_in
+                    cost2 = s2.cost
+                    if cfg.robust_opt_num_resets > 0:
+                        do_reset = (
+                            s2.weight_update_count
+                            <= cfg.robust_opt_num_resets
+                        )
+                        Xt_out = jnp.where(do_reset, Xt_init, Xt_in)
+                        cost2 = jnp.where(
+                            do_reset,
+                            quadratic.cost(
+                                fused_rtr.from_t(
+                                    Xt_out, prob.n, prob.r, prob.d + 1
+                                ),
+                                self._edges(s2.weights),
+                            ),
+                            cost2,
+                        )
+                    return (
+                        Xt_out, s2.weights, s2.fixed_mask, s2.mu,
+                        s2.weight_update_count,
+                        cache_from_weights(s2.weights),
+                    )
+
+                wu_fired = (
+                    (it > 0)
+                    & (jnp.mod(it, inner) == 0)
+                    & (wuc < cfg.robust_opt_num_weight_updates)
+                )
+                Xt, weights, fixed, mu, wuc, cache = jax.lax.cond(
+                    wu_fired,
+                    wu,
+                    lambda a: a,
+                    (Xt, weights, fixed, mu, wuc, cache),
+                )
+                rel = jnp.where(
+                    wu_fired, jnp.full_like(rel, jnp.inf), rel
+                )
+            pt, wrows = cache
+            if cfg.update_rule == UpdateRule.PARALLEL:
+                mrow = jax.lax.dynamic_index_in_dim(
+                    crows, jnp.mod(it, self.num_colors), keepdims=True
+                )
+            elif cfg.update_rule == UpdateRule.ROUND_ROBIN:
+                mrow = jax.lax.dynamic_index_in_dim(
+                    mrows, jnp.mod(it, R), keepdims=True
+                )
+            else:
+                k = jax.random.randint(
+                    jax.random.fold_in(key0, it), (), 0, R
+                )
+                mrow = jax.lax.dynamic_index_in_dim(
+                    mrows, k, keepdims=True
+                )
+            Xt_new, stats = fused_rtr.rtr_solve_fused(
+                Xt, mrow, pt, wrows, kg, self.rtr_params,
+                interpret=self._interpret_fused,
+                consts=consts, wins=wins, oh=self._kg_oh,
+            )
+            # restore unmasked lanes exactly (NS retraction renormalizes
+            # all lanes; drift outside the block must not accumulate)
+            Xt2 = Xt + (Xt_new - Xt) * mrow
+            moved = jax.lax.dynamic_slice(
+                stats, (0, fused_rtr._S_MOVED), (1, R)
+            )[0].astype(self.dtype)
+            upd = jax.lax.dynamic_slice(
+                stats, (0, fused_rtr._S_UPD), (1, R)
+            )[0]
+            rel2 = jnp.where(upd > 0, moved, rel)
+            cost2 = stats[0, 1].astype(self.dtype)
+            if record:
+                rel_h = rel_h.at[it].set(rel2)
+                ev_h = ev_h.at[it].set(wu_fired.astype(jnp.int8))
+            return (
+                Xt2, it + 1, cost2, rel2, weights, fixed, mu, wuc,
+                cache, rel_h, ev_h,
+            )
+          return do_iter
+
+        def cond_fn(carry):
+            _, it, _, rel, _, _, _, wuc, _, _, _ = carry
+            ready = jnp.all(rel < tol)
+            if gnc:
+                ready = ready & (wuc >= cfg.robust_opt_num_weight_updates)
+            return (it < max_iters) & ~ready
+
+        @jax.jit
+        def run(st: RBCDState):
+            Xt0 = fused_rtr.to_t(st.X, kg.n_pad)
+            cache = cache_from_weights(st.weights)
+            if record:
+                rel_h = jnp.full(
+                    (max_iters, R), jnp.nan, self.dtype
+                )
+                ev_h = jnp.zeros((max_iters,), jnp.int8)
+            else:
+                rel_h = ev_h = jnp.zeros((), jnp.int8)
+            carry = (
+                Xt0, st.iteration, st.cost, st.rel_change, st.weights,
+                st.fixed_mask, st.mu, st.weight_update_count, cache,
+                rel_h, ev_h,
+            )
+            (
+                Xt, it, cost, rel, weights, fixed, mu, wuc, _, rel_h, ev_h
+            ) = jax.lax.while_loop(cond_fn, make_do_iter(Xt0), carry)
+            X = fused_rtr.from_t(Xt, prob.n, prob.r, prob.d + 1)
+            out = RBCDState(
+                X=X, X_prev=X, V=X, theta=st.theta, iteration=it,
+                cost=cost, rel_change=rel, weights=weights,
+                fixed_mask=fixed, mu=mu, weight_update_count=wuc,
+            )
+            if record:
+                return out, rel_h, ev_h
+            return out
+
+        return run
+
     def make_fused_run(self, max_iters: int, record: bool = False):
         """Return a jitted runner executing the FULL solve as one XLA program
         (`lax.while_loop` over block updates with on-device termination and
@@ -769,6 +973,10 @@ class RBCDEngine:
         ``src/PGOAgentROS.cpp:853-907``; rows past the final iteration are
         NaN/0).
         """
+        if self._use_fused and not self.config.acceleration:
+            # round-3 fast path: state stays in the kernel's transposed
+            # layout for the whole run (see _make_fused_run_t)
+            return self._make_fused_run_t(max_iters, record)
         cfg = self.config
         prob = self.problem
         gnc = cfg.robust_cost_type != RobustCostType.L2  # any robust cost

@@ -1,0 +1,166 @@
+"""Tunnels GNC cross-schedule stability experiment (VERDICT r2 #3).
+
+Round-2 finding: RoundRobin-vs-Uniform runs of the 8-robot tunnels GNC
+problem disagreed on ~80/3,644 loop closures (97.7% agreement) and 4.75 m
+ATE (1.39% of span). This script sweeps the knobs the reference exposes —
+weight-round count, inner-iteration budget, weight-convergence freezing
+(``PGOAgentROS.h:62-63`` / ``PGOAgentROS.cpp:1315-1353``) — and measures
+cross-schedule accept/reject agreement + ATE for each, plus a
+characterization of the flipped edges (residual location vs barc).
+
+Usage: python scripts/exp_tunnels_schedule.py [config ...]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from dpgo_ros_tpu.utils.hostenv import ensure_cpu_devices
+
+ensure_cpu_devices(1)
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp
+import numpy as np
+
+from dpgo_ros_tpu.io.datasets import load_tunnels
+from dpgo_ros_tpu.models import robust
+from dpgo_ros_tpu.models.problem import LiftedProblem
+from dpgo_ros_tpu.ops import rounding
+from dpgo_ros_tpu.parallel.rbcd import RBCDEngine
+from dpgo_ros_tpu.utils.config import (
+    AgentConfig,
+    InitMethod,
+    RobustCostType,
+    UpdateRule,
+)
+
+BARC = 3.0
+
+CONFIGS = {
+    # round-2 demo config (the divergence witness)
+    "baseline": dict(wu=3, inner=50, wct=-1.0, mu_step=1.4),
+    # reference-style freezing on + more weight rounds
+    "freeze6": dict(wu=6, inner=50, wct=0.01, mu_step=1.4),
+    "freeze10": dict(wu=10, inner=30, wct=0.01, mu_step=1.4),
+    # gentler mu schedule with freezing
+    "gentle8": dict(wu=8, inner=50, wct=0.01, mu_step=1.2),
+}
+
+
+def log(m):
+    print(f"# {m}", flush=True)
+
+
+def solve(rule, c):
+    data = load_tunnels()
+    prob = LiftedProblem.from_data(data, r=5, dtype=jnp.float64)
+    cfg = AgentConfig(
+        num_robots=8,
+        update_rule=rule,
+        local_initialization_method=InitMethod.ODOMETRY,
+        robust_cost_type=RobustCostType.GNC_TLS,
+        GNC_use_probability=False,
+        GNC_barc=BARC,
+        GNC_mu_step=c["mu_step"],
+        robust_opt_num_weight_updates=c["wu"],
+        robust_opt_num_resets=0,
+        robust_opt_inner_iters_per_robot=c["inner"],
+        weight_convergence_threshold=c["wct"],
+        relative_change_tolerance=0.2,
+        RTR_gradnorm_tol=0.5,
+        dtype="float64",
+    )
+    eng = RBCDEngine(prob, cfg)
+    t0 = time.time()
+    st, info = eng.run(eng.initialize())
+    T, st = eng.finalize(st)
+    return prob, np.asarray(T), st, info, time.time() - t0
+
+
+def main():
+    names = sys.argv[1:] or list(CONFIGS)
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "exp_tunnels_schedule.json",
+    )
+    results = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            results = json.load(f)
+    for name in names:
+        c = CONFIGS[name]
+        log(f"=== {name} {c} ===")
+        runs = {}
+        for rule in (UpdateRule.ROUND_ROBIN, UpdateRule.UNIFORM):
+            prob, T, st, info, wall = solve(rule, c)
+            e = prob.edges
+            loop = (np.asarray(e.is_loop) > 0) & (np.asarray(e.mask) > 0)
+            w = np.asarray(st.weights)
+            acc = loop & (w >= 0.5)
+            r = np.asarray(
+                robust.measurement_residuals(
+                    jnp.asarray(rounding.round_solution(st.X)), e
+                )
+            )
+            runs[rule.name] = dict(
+                T=T, acc=acc, loop=loop, r=r,
+                iters=info["iterations"],
+                cost=info["final_cost"],
+                converged=info["converged"],
+                wall=wall,
+            )
+            log(
+                f"{name}/{rule.name}: {info['iterations']} iters, cost "
+                f"{info['final_cost']:.1f}, acc {int(acc.sum())}, "
+                f"{wall:.0f}s"
+            )
+        a = runs["ROUND_ROBIN"]
+        b = runs["UNIFORM"]
+        loop = a["loop"]
+        agree = float((a["acc"][loop] == b["acc"][loop]).mean())
+        flipped = loop & (a["acc"] != b["acc"])
+        ate = float(
+            rounding.ate_translation(
+                jnp.asarray(a["T"]), jnp.asarray(b["T"])
+            )
+        )
+        span = float(np.ptp(a["T"][:, :, 3], axis=0).max())
+        # characterize flips: residual distance to barc in BOTH solutions
+        r_mean = 0.5 * (a["r"] + b["r"])
+        fl = r_mean[flipped]
+        entry = {
+            "config": c,
+            "agreement": agree,
+            "num_flipped": int(flipped.sum()),
+            "ate_rmse": ate,
+            "span": span,
+            "ate_over_span": ate / span,
+            "flip_resid_over_barc": sorted(
+                np.round(fl / BARC, 3).tolist()
+            )[:50],
+            "runs": {
+                k: {kk: v[kk] for kk in
+                    ("iters", "cost", "converged", "wall")}
+                for k, v in runs.items()
+            },
+        }
+        results[name] = entry
+        log(
+            f"{name}: agreement {agree:.4f} ({int(flipped.sum())} flips), "
+            f"ATE {ate:.3f} ({100*ate/span:.3f}% of span)"
+        )
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=2)
+    log(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -83,6 +83,7 @@ def main():
         entry = {
             "certified_global_optimum": res.cost,
             "rounded_cost": res.rounded_cost,
+            "refined_cost": res.refined_cost,
             "certified": res.certified,
             "rank": res.rank,
             "ranks_tried": list(res.ranks_tried),

@@ -70,6 +70,7 @@ def test_certified_solve_tinygrid_is_global():
     assert res.cost == pytest.approx(TINY_OPT, abs=1e-3)
     # tight relaxation: the rank-d rounding achieves the SDP optimum
     assert res.rounded_cost == pytest.approx(res.cost, rel=1e-6)
+    assert res.refined_cost == pytest.approx(res.cost, rel=1e-6)
     assert res.min_eig > -1e-6 * res.cost
 
 
