@@ -81,6 +81,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     # reference parameter surface (launch/PGOAgent.launch:9-50)
     p.add_argument("--num_robots", type=int, default=1)
+    p.add_argument(
+        "--partition_balance", choices=["poses", "work"], default="poses",
+        help="contiguous partition cut rule: 'poses' = reference equal-"
+             "pose-count blocks; 'work' = balance poses + owned edges "
+             "(lifts parking-garage@5 projected N-chip efficiency "
+             "0.57 -> 0.99, SCALING_r03.json)",
+    )
     p.add_argument("--dimension", type=int, default=3)
     p.add_argument("--relaxation_rank", type=int, default=5)
     p.add_argument("--asynchronous", type=_bool, default=False)
@@ -318,9 +325,11 @@ def main(argv=None) -> int:
     if a.csv:
         data = load_multi_robot_csv(a.csv)
     elif a.g2o:
-        data = partition_g2o(a.g2o, a.num_robots)
+        data = partition_g2o(a.g2o, a.num_robots, balance=a.partition_balance)
     elif a.dataset:
-        data = load_g2o_dataset(a.dataset, num_robots=a.num_robots)
+        data = load_g2o_dataset(
+            a.dataset, num_robots=a.num_robots, balance=a.partition_balance
+        )
     elif a.demo == "dpgo_gnc_demo":
         data = load_tunnels(num_robots=a.num_robots)
     else:

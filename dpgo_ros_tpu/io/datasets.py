@@ -32,9 +32,15 @@ def dataset_path(name: str, data_dir: str | None = None) -> str:
 
 
 def load_g2o_dataset(
-    name: str, num_robots: int = 1, data_dir: str | None = None
+    name: str, num_robots: int = 1, data_dir: str | None = None,
+    balance: str = "poses",
 ) -> PoseGraphData:
-    return partition_g2o(dataset_path(name, data_dir), num_robots)
+    """``balance``: "poses" (reference equal-count blocks) or "work"
+    (contiguous blocks balancing poses + owned edges — see
+    ``io/partition.py::balanced_contiguous_partition``)."""
+    return partition_g2o(
+        dataset_path(name, data_dir), num_robots, balance=balance
+    )
 
 
 def tunnels_paths(data_dir: str | None = None, num_robots: int = 8) -> List[str]:

@@ -472,6 +472,310 @@ def _hilo(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([hi, lo], axis=0)
 
 
+
+def make_edge_alg(
+    C, r, d, n_pad, E_loop_pad, n_chunks_l, tail_l,
+    windowed, win_w, tabled, has_loops, diags2,
+    Rc, tc, kwc, twc, Pt,
+    idx2_ref, oh_ref, Rl_ref, tl_ref, kwl_ref, twl_ref,
+    d2R_ref, d2t_ref, kwd_ref, twd_ref,
+    wins_ref, thl_ref, acc_ref,
+):
+    """Shared in-kernel edge-pass + manifold row algebra (transposed SoA
+    layout) used by BOTH fused kernels — the RTR block solve below and the
+    ASAPP RGD tick (ops/fused_asapp.py). Statics are Python values; weight/
+    geometry rows are pre-loaded arrays; chunk-sliced tables stay refs.
+
+    Returns a namespace with: shift_left/right/by, edge_terms,
+    edge_contribs, egrad_and_cost(T, with_f), rowsum, proj, precond,
+    inner, retract.
+    """
+    import types
+
+    from jax.experimental import pallas as pl
+
+    zcol = jnp.zeros((C, 1), jnp.float32)
+
+    def shift_left(A):  # lane i ← A[:, i+1]
+        return jnp.concatenate([A[:, 1:], zcol], axis=1)
+
+    def shift_right(A):  # lane i ← A[:, i-1]
+        return jnp.concatenate([zcol, A[:, :-1]], axis=1)
+
+    def shift_by(A, delta):  # lane i ← A[:, i+delta], zero-filled
+        if delta == 0:
+            return A
+        z = jnp.zeros((A.shape[0], abs(delta)), A.dtype)
+        if delta > 0:
+            return jnp.concatenate([A[:, delta:], z], axis=1)
+        return jnp.concatenate([z, A[:, :delta]], axis=1)
+
+    # ---- edge algebra (shared chain/loop; all row-wise VPU) -----------
+    def edge_terms(Vi, Vj, Rv, tv, kw, tw, with_f=True):
+        """Residual terms: kr1 (list d of (r,N)) = 2·kw·r1_b,
+        tr2 (r,N) = 2·tw·r2, f = Σ kw‖r1‖² + tw‖r2‖².
+
+        ``with_f=False`` (Hessian-vector applications) skips the cost
+        accumulation — d+1 full-array multiply+scalar-reduce passes per
+        edge class that the tCG loop never reads."""
+        kr1 = []
+        f = jnp.zeros((), jnp.float32)
+        for b in range(d):
+            acc = Vj[b * r:(b + 1) * r]
+            for k in range(d):
+                acc = acc - Vi[k * r:(k + 1) * r] * Rv[k * d + b][None, :]
+            if with_f:
+                f = f + jnp.sum(kw * (acc * acc))
+            kr1.append(2.0 * kw * acc)
+        r2 = Vj[d * r:(d + 1) * r] - Vi[d * r:(d + 1) * r]
+        for k in range(d):
+            r2 = r2 - Vi[k * r:(k + 1) * r] * tv[k][None, :]
+        if with_f:
+            f = f + jnp.sum(tw * (r2 * r2))
+        tr2 = 2.0 * tw * r2
+        return kr1, tr2, f
+
+    def edge_contribs(kr1, tr2, Rv, tv):
+        """Per-edge gradient contributions → Ci (src), Cj (dst)."""
+        rows_i = []
+        for k in range(d):
+            acc = tr2 * tv[k][None, :]
+            for b in range(d):
+                acc = acc + kr1[b] * Rv[k * d + b][None, :]
+            rows_i.append(-acc)
+        rows_i.append(-tr2)
+        Ci = jnp.concatenate(rows_i, axis=0)
+        Cj = jnp.concatenate(kr1 + [tr2], axis=0)
+        return Ci, Cj
+
+    def loop_edges_apply(Thl, off, width, f, woff=None, with_f=True):
+        """Fused gather → edge compute → scatter-add for one chunk of
+        loop slots. Each endpoint one-hot is built ONCE and used in both
+        matmul orientations — as the gather RHS (contract n_pad) and as
+        the scatter-add RHS (contract the chunk dim; an NT contraction,
+        no transpose materialized). One-hot construction is the kernel's
+        dominant VPU cost, so this halves it vs separate passes.
+
+        With a src window ``woff`` (slots sorted by src at
+        KernelGraph.build; offsets ride in SMEM as multiples of 256 so
+        Mosaic can prove lane alignment of the dynamic slices), the src
+        one-hot spans ``win_w`` lanes instead of ``n_pad`` — the gather
+        LHS is the matching dynamic slice of the hi/lo state staged in
+        ``thl_ref``, and the scatter-add targets the same slice of the
+        accumulator. Padded slots (src = 0, below any window) match no
+        shifted row and carry zero weight, so they contribute nothing
+        either way."""
+        s_idx = idx2_ref[0, pl.ds(off, width)]
+        d_idx = idx2_ref[0, pl.ds(E_loop_pad + off, width)]
+        iota_d = jax.lax.broadcasted_iota(jnp.int32, (n_pad, width), 0)
+        oh_d = (iota_d == d_idx[None, :]).astype(jnp.bfloat16)
+        if woff is None:
+            oh_s = (iota_d == s_idx[None, :]).astype(jnp.bfloat16)
+            Th_s = Thl
+        else:
+            iota_s = jax.lax.broadcasted_iota(
+                jnp.int32, (win_w, width), 0
+            )
+            oh_s = (iota_s == (s_idx[None, :] - woff)).astype(
+                jnp.bfloat16
+            )
+            Th_s = thl_ref[:, pl.ds(woff, win_w)]
+        Vi2 = jax.lax.dot_general(
+            Th_s, oh_s, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        Vj2 = jax.lax.dot_general(
+            Thl, oh_d, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        Vi = Vi2[:C] + Vi2[C:]
+        Vj = Vj2[:C] + Vj2[C:]
+        Rv = Rl_ref[:, pl.ds(off, width)]
+        tv = tl_ref[:, pl.ds(off, width)]
+        kw = kwl_ref[:, pl.ds(off, width)]
+        tw = twl_ref[:, pl.ds(off, width)]
+        kr1, tr2, fc = edge_terms(Vi, Vj, Rv, tv, kw, tw, with_f)
+        Ci, Cj = edge_contribs(kr1, tr2, Rv, tv)
+        ci_hilo = jax.lax.dot_general(
+            _hilo(Ci), oh_s, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if woff is None:
+            acc_ref[:] += ci_hilo
+        else:
+            acc_ref[:, pl.ds(woff, win_w)] = (
+                acc_ref[:, pl.ds(woff, win_w)] + ci_hilo
+            )
+        acc_ref[:] += jax.lax.dot_general(
+            _hilo(Cj), oh_d, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return f + fc
+
+    def egrad_and_cost(T, with_f=True):
+        """(∇f(T), f(T)) over chain + diagonal + loop edges — Q.
+        ``with_f=False`` skips every cost reduction (tCG hot path)."""
+        Vi = T
+        Vj = shift_left(T)
+        kr1, tr2, f = edge_terms(Vi, Vj, Rc, tc, kwc, twc, with_f)
+        Ci, Cj = edge_contribs(kr1, tr2, Rc, tc)
+        G = Ci + shift_right(Cj)
+
+        # diagonal classes: gather = static Δ-lane shift, scatter-add =
+        # the −Δ shift — a full-lane VPU edge pass per class, zero MXU
+        for j, delta in enumerate(diags2):
+            Rv = d2R_ref[j * d * d:(j + 1) * d * d, :]
+            tv = d2t_ref[j * d:(j + 1) * d, :]
+            kw = kwd_ref[j:j + 1, :]
+            tw = twd_ref[j:j + 1, :]
+            kr1d, tr2d, fd = edge_terms(
+                T, shift_by(T, delta), Rv, tv, kw, tw, with_f
+            )
+            Cid, Cjd = edge_contribs(kr1d, tr2d, Rv, tv)
+            G = G + Cid + shift_by(Cjd, -delta)
+            f = f + fd
+
+        if not has_loops:
+            return G, f
+        Thl = _hilo(T)
+
+        if tabled:
+            # precomputed one-hot table: ONE full-width MXU gather and
+            # ONE NT scatter per Q-application — no iota-compare one-hot
+            # construction, no chunk loop (the round-2 VPU bottleneck)
+            E = E_loop_pad
+            oh = oh_ref[:]  # (n_pad, 2E) bf16 [src | dst]
+            V2 = jax.lax.dot_general(
+                Thl, oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            Vi_l = V2[:C, :E] + V2[C:, :E]
+            Vj_l = V2[:C, E:] + V2[C:, E:]
+            Rv = Rl_ref[:]
+            tv = tl_ref[:]
+            kw = kwl_ref[:]
+            tw = twl_ref[:]
+            kr1l, tr2l, fl = edge_terms(Vi_l, Vj_l, Rv, tv, kw, tw, with_f)
+            Cil, Cjl = edge_contribs(kr1l, tr2l, Rv, tv)
+            Chl = jnp.concatenate([_hilo(Cil), _hilo(Cjl)], axis=1)
+            A = jax.lax.dot_general(
+                Chl, oh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return G + A[:C] + A[C:], f + fl
+
+        acc_ref[:] = jnp.zeros((2 * C, n_pad), jnp.float32)
+
+        if windowed:
+            # one fori_loop body (unrolling blows the Mosaic VMEM
+            # stack); every chunk's window offset — tail included — is
+            # DATA read from SMEM as a multiple of 256 (alignment
+            # provable; per-device rows on the SPMD path)
+            thl_ref[:] = Thl
+
+            def wbody(cidx, facc):
+                wo = wins_ref[0, cidx] * 256
+                return loop_edges_apply(
+                    Thl, cidx * CHUNK, CHUNK, facc, wo, with_f
+                )
+
+            if n_chunks_l:
+                f = jax.lax.fori_loop(0, n_chunks_l, wbody, f)
+            if tail_l:
+                f = loop_edges_apply(
+                    Thl, n_chunks_l * CHUNK, tail_l, f,
+                    wins_ref[0, n_chunks_l] * 256, with_f,
+                )
+        else:
+            def body(cidx, facc):
+                return loop_edges_apply(
+                    Thl, cidx * CHUNK, CHUNK, facc, None, with_f
+                )
+
+            if n_chunks_l:
+                f = jax.lax.fori_loop(0, n_chunks_l, body, f)
+            if tail_l:
+                f = loop_edges_apply(
+                    Thl, n_chunks_l * CHUNK, tail_l, f, None, with_f
+                )
+        A = acc_ref[:]
+        return G + A[:C] + A[C:], f
+
+    # ---- manifold row algebra -----------------------------------------
+    def rowsum(A):  # (rows, N) → (1, N)
+        return jnp.sum(A, axis=0, keepdims=True)
+
+    def proj(Xv, V):
+        """Tangent projection at Xv: V_Y − Y·sym(YᵀV_Y); p free."""
+        S = []  # S[k][l] = Σ_a Y_k[a] V_l[a]  (1, N)
+        for k in range(d):
+            Yk = Xv[k * r:(k + 1) * r]
+            S.append([rowsum(Yk * V[l * r:(l + 1) * r]) for l in range(d)])
+        out = []
+        for l in range(d):
+            acc = V[l * r:(l + 1) * r]
+            for k in range(d):
+                Skl = 0.5 * (S[k][l] + S[l][k])
+                acc = acc - Xv[k * r:(k + 1) * r] * Skl
+            out.append(acc)
+        out.append(V[d * r:(d + 1) * r])
+        return jnp.concatenate(out, axis=0)
+
+    def precond(V):
+        """V ← V·P⁻¹ per pose (component-major rows)."""
+        out = []
+        for b2 in range(d + 1):
+            acc = V[0:r] * Pt[0 * (d + 1) + b2][None, :]
+            for b in range(1, d + 1):
+                acc = acc + V[b * r:(b + 1) * r] * Pt[b * (d + 1) + b2][None, :]
+            out.append(acc)
+        return jnp.concatenate(out, axis=0)
+
+    def inner(U, V):
+        return jnp.sum(U * V)
+
+    def retract(Xv, V):
+        """Newton–Schulz polar retraction (20 iters), translations move
+        Euclidean — mirrors stiefel.retract_polar_ns."""
+        A = Xv[: d * r] + V[: d * r]  # (d·r, N)
+        tr = rowsum(A * A)
+        s = jax.lax.rsqrt(jnp.maximum(tr, 1e-12))
+        Z0 = A * s
+
+        def body(_, Z):
+            G3 = []
+            for k in range(d):
+                Zk = Z[k * r:(k + 1) * r]
+                G3.append([rowsum(Zk * Z[l * r:(l + 1) * r])
+                           for l in range(d)])
+            rows = []
+            for l in range(d):
+                acc = 3.0 * Z[l * r:(l + 1) * r]
+                for k in range(d):
+                    acc = acc - Z[k * r:(k + 1) * r] * G3[k][l]
+                rows.append(0.5 * acc)
+            return jnp.concatenate(rows, axis=0)
+
+        Z = jax.lax.fori_loop(0, 20, body, Z0)
+        p = Xv[d * r:(d + 1) * r] + V[d * r:(d + 1) * r]
+        return jnp.concatenate([Z, p], axis=0)
+
+
+    return types.SimpleNamespace(
+        shift_left=shift_left,
+        shift_right=shift_right,
+        shift_by=shift_by,
+        edge_terms=edge_terms,
+        edge_contribs=edge_contribs,
+        egrad_and_cost=egrad_and_cost,
+        rowsum=rowsum,
+        proj=proj,
+        precond=precond,
+        inner=inner,
+        retract=retract,
+    )
+
+
 @functools.lru_cache(maxsize=32)
 def _make_rtr_kernel(
     n_pad: int,
@@ -528,271 +832,21 @@ def _make_rtr_kernel(
         twc = twc_ref[:]
         Pt = pinv_ref[:]
 
-        zcol = jnp.zeros((C, 1), jnp.float32)
-
-        def shift_left(A):  # lane i ← A[:, i+1]
-            return jnp.concatenate([A[:, 1:], zcol], axis=1)
-
-        def shift_right(A):  # lane i ← A[:, i-1]
-            return jnp.concatenate([zcol, A[:, :-1]], axis=1)
-
-        def shift_by(A, delta):  # lane i ← A[:, i+delta], zero-filled
-            if delta == 0:
-                return A
-            z = jnp.zeros((A.shape[0], abs(delta)), A.dtype)
-            if delta > 0:
-                return jnp.concatenate([A[:, delta:], z], axis=1)
-            return jnp.concatenate([z, A[:, :delta]], axis=1)
-
-        # ---- edge algebra (shared chain/loop; all row-wise VPU) -----------
-        def edge_terms(Vi, Vj, Rv, tv, kw, tw, with_f=True):
-            """Residual terms: kr1 (list d of (r,N)) = 2·kw·r1_b,
-            tr2 (r,N) = 2·tw·r2, f = Σ kw‖r1‖² + tw‖r2‖².
-
-            ``with_f=False`` (Hessian-vector applications) skips the cost
-            accumulation — d+1 full-array multiply+scalar-reduce passes per
-            edge class that the tCG loop never reads."""
-            kr1 = []
-            f = jnp.zeros((), jnp.float32)
-            for b in range(d):
-                acc = Vj[b * r:(b + 1) * r]
-                for k in range(d):
-                    acc = acc - Vi[k * r:(k + 1) * r] * Rv[k * d + b][None, :]
-                if with_f:
-                    f = f + jnp.sum(kw * (acc * acc))
-                kr1.append(2.0 * kw * acc)
-            r2 = Vj[d * r:(d + 1) * r] - Vi[d * r:(d + 1) * r]
-            for k in range(d):
-                r2 = r2 - Vi[k * r:(k + 1) * r] * tv[k][None, :]
-            if with_f:
-                f = f + jnp.sum(tw * (r2 * r2))
-            tr2 = 2.0 * tw * r2
-            return kr1, tr2, f
-
-        def edge_contribs(kr1, tr2, Rv, tv):
-            """Per-edge gradient contributions → Ci (src), Cj (dst)."""
-            rows_i = []
-            for k in range(d):
-                acc = tr2 * tv[k][None, :]
-                for b in range(d):
-                    acc = acc + kr1[b] * Rv[k * d + b][None, :]
-                rows_i.append(-acc)
-            rows_i.append(-tr2)
-            Ci = jnp.concatenate(rows_i, axis=0)
-            Cj = jnp.concatenate(kr1 + [tr2], axis=0)
-            return Ci, Cj
-
-        def loop_edges_apply(Thl, off, width, f, woff=None, with_f=True):
-            """Fused gather → edge compute → scatter-add for one chunk of
-            loop slots. Each endpoint one-hot is built ONCE and used in both
-            matmul orientations — as the gather RHS (contract n_pad) and as
-            the scatter-add RHS (contract the chunk dim; an NT contraction,
-            no transpose materialized). One-hot construction is the kernel's
-            dominant VPU cost, so this halves it vs separate passes.
-
-            With a src window ``woff`` (slots sorted by src at
-            KernelGraph.build; offsets ride in SMEM as multiples of 256 so
-            Mosaic can prove lane alignment of the dynamic slices), the src
-            one-hot spans ``win_w`` lanes instead of ``n_pad`` — the gather
-            LHS is the matching dynamic slice of the hi/lo state staged in
-            ``thl_ref``, and the scatter-add targets the same slice of the
-            accumulator. Padded slots (src = 0, below any window) match no
-            shifted row and carry zero weight, so they contribute nothing
-            either way."""
-            s_idx = idx2_ref[0, pl.ds(off, width)]
-            d_idx = idx2_ref[0, pl.ds(E_loop_pad + off, width)]
-            iota_d = jax.lax.broadcasted_iota(jnp.int32, (n_pad, width), 0)
-            oh_d = (iota_d == d_idx[None, :]).astype(jnp.bfloat16)
-            if woff is None:
-                oh_s = (iota_d == s_idx[None, :]).astype(jnp.bfloat16)
-                Th_s = Thl
-            else:
-                iota_s = jax.lax.broadcasted_iota(
-                    jnp.int32, (win_w, width), 0
-                )
-                oh_s = (iota_s == (s_idx[None, :] - woff)).astype(
-                    jnp.bfloat16
-                )
-                Th_s = thl_ref[:, pl.ds(woff, win_w)]
-            Vi2 = jax.lax.dot_general(
-                Th_s, oh_s, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            Vj2 = jax.lax.dot_general(
-                Thl, oh_d, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            Vi = Vi2[:C] + Vi2[C:]
-            Vj = Vj2[:C] + Vj2[C:]
-            Rv = Rl_ref[:, pl.ds(off, width)]
-            tv = tl_ref[:, pl.ds(off, width)]
-            kw = kwl_ref[:, pl.ds(off, width)]
-            tw = twl_ref[:, pl.ds(off, width)]
-            kr1, tr2, fc = edge_terms(Vi, Vj, Rv, tv, kw, tw, with_f)
-            Ci, Cj = edge_contribs(kr1, tr2, Rv, tv)
-            ci_hilo = jax.lax.dot_general(
-                _hilo(Ci), oh_s, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            if woff is None:
-                acc_ref[:] += ci_hilo
-            else:
-                acc_ref[:, pl.ds(woff, win_w)] = (
-                    acc_ref[:, pl.ds(woff, win_w)] + ci_hilo
-                )
-            acc_ref[:] += jax.lax.dot_general(
-                _hilo(Cj), oh_d, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            return f + fc
-
-        def egrad_and_cost(T, with_f=True):
-            """(∇f(T), f(T)) over chain + diagonal + loop edges — Q.
-            ``with_f=False`` skips every cost reduction (tCG hot path)."""
-            Vi = T
-            Vj = shift_left(T)
-            kr1, tr2, f = edge_terms(Vi, Vj, Rc, tc, kwc, twc, with_f)
-            Ci, Cj = edge_contribs(kr1, tr2, Rc, tc)
-            G = Ci + shift_right(Cj)
-
-            # diagonal classes: gather = static Δ-lane shift, scatter-add =
-            # the −Δ shift — a full-lane VPU edge pass per class, zero MXU
-            for j, delta in enumerate(diags2):
-                Rv = d2R_ref[j * d * d:(j + 1) * d * d, :]
-                tv = d2t_ref[j * d:(j + 1) * d, :]
-                kw = kwd_ref[j:j + 1, :]
-                tw = twd_ref[j:j + 1, :]
-                kr1d, tr2d, fd = edge_terms(
-                    T, shift_by(T, delta), Rv, tv, kw, tw, with_f
-                )
-                Cid, Cjd = edge_contribs(kr1d, tr2d, Rv, tv)
-                G = G + Cid + shift_by(Cjd, -delta)
-                f = f + fd
-
-            if not has_loops:
-                return G, f
-            Thl = _hilo(T)
-
-            if tabled:
-                # precomputed one-hot table: ONE full-width MXU gather and
-                # ONE NT scatter per Q-application — no iota-compare one-hot
-                # construction, no chunk loop (the round-2 VPU bottleneck)
-                E = E_loop_pad
-                oh = oh_ref[:]  # (n_pad, 2E) bf16 [src | dst]
-                V2 = jax.lax.dot_general(
-                    Thl, oh, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                Vi_l = V2[:C, :E] + V2[C:, :E]
-                Vj_l = V2[:C, E:] + V2[C:, E:]
-                Rv = Rl_ref[:]
-                tv = tl_ref[:]
-                kw = kwl_ref[:]
-                tw = twl_ref[:]
-                kr1l, tr2l, fl = edge_terms(Vi_l, Vj_l, Rv, tv, kw, tw, with_f)
-                Cil, Cjl = edge_contribs(kr1l, tr2l, Rv, tv)
-                Chl = jnp.concatenate([_hilo(Cil), _hilo(Cjl)], axis=1)
-                A = jax.lax.dot_general(
-                    Chl, oh, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                return G + A[:C] + A[C:], f + fl
-
-            acc_ref[:] = jnp.zeros((2 * C, n_pad), jnp.float32)
-
-            if windowed:
-                # one fori_loop body (unrolling blows the Mosaic VMEM
-                # stack); every chunk's window offset — tail included — is
-                # DATA read from SMEM as a multiple of 256 (alignment
-                # provable; per-device rows on the SPMD path)
-                thl_ref[:] = Thl
-
-                def wbody(cidx, facc):
-                    wo = wins_ref[0, cidx] * 256
-                    return loop_edges_apply(
-                        Thl, cidx * CHUNK, CHUNK, facc, wo, with_f
-                    )
-
-                if n_chunks_l:
-                    f = jax.lax.fori_loop(0, n_chunks_l, wbody, f)
-                if tail_l:
-                    f = loop_edges_apply(
-                        Thl, n_chunks_l * CHUNK, tail_l, f,
-                        wins_ref[0, n_chunks_l] * 256, with_f,
-                    )
-            else:
-                def body(cidx, facc):
-                    return loop_edges_apply(
-                        Thl, cidx * CHUNK, CHUNK, facc, None, with_f
-                    )
-
-                if n_chunks_l:
-                    f = jax.lax.fori_loop(0, n_chunks_l, body, f)
-                if tail_l:
-                    f = loop_edges_apply(
-                        Thl, n_chunks_l * CHUNK, tail_l, f, None, with_f
-                    )
-            A = acc_ref[:]
-            return G + A[:C] + A[C:], f
-
-        # ---- manifold row algebra -----------------------------------------
-        def rowsum(A):  # (rows, N) → (1, N)
-            return jnp.sum(A, axis=0, keepdims=True)
-
-        def proj(Xv, V):
-            """Tangent projection at Xv: V_Y − Y·sym(YᵀV_Y); p free."""
-            S = []  # S[k][l] = Σ_a Y_k[a] V_l[a]  (1, N)
-            for k in range(d):
-                Yk = Xv[k * r:(k + 1) * r]
-                S.append([rowsum(Yk * V[l * r:(l + 1) * r]) for l in range(d)])
-            out = []
-            for l in range(d):
-                acc = V[l * r:(l + 1) * r]
-                for k in range(d):
-                    Skl = 0.5 * (S[k][l] + S[l][k])
-                    acc = acc - Xv[k * r:(k + 1) * r] * Skl
-                out.append(acc)
-            out.append(V[d * r:(d + 1) * r])
-            return jnp.concatenate(out, axis=0)
-
-        def precond(V):
-            """V ← V·P⁻¹ per pose (component-major rows)."""
-            out = []
-            for b2 in range(d + 1):
-                acc = V[0:r] * Pt[0 * (d + 1) + b2][None, :]
-                for b in range(1, d + 1):
-                    acc = acc + V[b * r:(b + 1) * r] * Pt[b * (d + 1) + b2][None, :]
-                out.append(acc)
-            return jnp.concatenate(out, axis=0)
-
-        def inner(U, V):
-            return jnp.sum(U * V)
-
-        def retract(Xv, V):
-            """Newton–Schulz polar retraction (20 iters), translations move
-            Euclidean — mirrors stiefel.retract_polar_ns."""
-            A = Xv[: d * r] + V[: d * r]  # (d·r, N)
-            tr = rowsum(A * A)
-            s = jax.lax.rsqrt(jnp.maximum(tr, 1e-12))
-            Z0 = A * s
-
-            def body(_, Z):
-                G3 = []
-                for k in range(d):
-                    Zk = Z[k * r:(k + 1) * r]
-                    G3.append([rowsum(Zk * Z[l * r:(l + 1) * r])
-                               for l in range(d)])
-                rows = []
-                for l in range(d):
-                    acc = 3.0 * Z[l * r:(l + 1) * r]
-                    for k in range(d):
-                        acc = acc - Z[k * r:(k + 1) * r] * G3[k][l]
-                    rows.append(0.5 * acc)
-                return jnp.concatenate(rows, axis=0)
-
-            Z = jax.lax.fori_loop(0, 20, body, Z0)
-            p = Xv[d * r:(d + 1) * r] + V[d * r:(d + 1) * r]
-            return jnp.concatenate([Z, p], axis=0)
+        alg = make_edge_alg(
+            C, r, d, n_pad, E_loop_pad, n_chunks_l, tail_l,
+            windowed, win_w, tabled, has_loops, diags2,
+            Rc, tc, kwc, twc, Pt,
+            idx2_ref if not tabled else None, oh_ref,
+            Rl_ref, tl_ref, kwl_ref, twl_ref,
+            d2R_ref, d2t_ref, kwd_ref, twd_ref,
+            wins_ref, thl_ref, acc_ref,
+        )
+        egrad_and_cost = alg.egrad_and_cost
+        rowsum = alg.rowsum
+        proj = alg.proj
+        precond = alg.precond
+        inner = alg.inner
+        retract = alg.retract
 
         # ---- truncated CG ---------------------------------------------------
         def hess(Xv, Ssym, V):

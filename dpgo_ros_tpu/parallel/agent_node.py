@@ -997,13 +997,16 @@ class PGOAgentNode:
         mine = is_loop & (~shared | owner_is_me) & ~self._fixed_np
         w[mine] = w_all[mine]
         # weight-convergence freezing (reference
-        # ``weightConvergenceThreshold``, ``PGOAgentROS.h:62-63``): weights
-        # that have binarized are rounded and frozen — later rounds (and the
-        # TERMINATE undecided-resolution) can no longer flip them
+        # ``weightConvergenceThreshold``, ``PGOAgentROS.cpp:1049-1056``):
+        # an edge whose GNC weight fell below the threshold is REJECTED and
+        # frozen (weight=0, fixedWeight=true) — later rounds (and the
+        # TERMINATE undecided-resolution) can no longer re-admit it.
+        # Distance-to-binary freezing was tried and misfires (weights start
+        # near 1 under small mu — exp_tunnels_schedule.json 'freeze6').
         thr = self.config.weight_convergence_threshold
         if thr > 0:
-            conv = mine & (np.abs(w - np.round(w)) < thr)
-            w[conv] = np.round(w[conv])
+            conv = mine & (w < thr)
+            w[conv] = 0.0
             self._fixed_np |= conv
         # replicate owned shared-edge weights WITH their fixed flags
         # (reference ``publishMeasurementWeights`` :720-754 sends

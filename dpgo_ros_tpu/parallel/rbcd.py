@@ -588,9 +588,17 @@ class RBCDEngine:
         mu_new = st.mu * cfg.GNC_mu_step
         fixed = st.fixed_mask
         if cfg.weight_convergence_threshold > 0:
-            conv = jnp.abs(w_new - jnp.round(w_new)) < cfg.weight_convergence_threshold
-            newly = (fixed == 0) & conv
-            w_new = jnp.where(newly, jnp.round(w_new), w_new)
+            # reference semantics (``PGOAgentROS.cpp:1049-1056``): an edge
+            # whose GNC weight fell below the threshold is REJECTED and
+            # frozen (weight=0, fixedWeight=true) — progressive hard
+            # rejection. (Freezing near-1 weights too — "binarized" — was
+            # tried and misfires: GNC weights START near 1 under small mu,
+            # so the whole outlier set gets frozen as accepts in round 1;
+            # measured in exp_tunnels_schedule.json 'freeze6'.)
+            newly = (fixed == 0) & (
+                w_new < cfg.weight_convergence_threshold
+            )
+            w_new = jnp.where(newly, 0.0, w_new)
             fixed = jnp.where(newly, 1.0, fixed)
         cost = quadratic.cost(st.X, self._edges(w_new))
         return RBCDState(

@@ -45,13 +45,22 @@ from dpgo_ros_tpu.utils.config import (
 BARC = 3.0
 
 CONFIGS = {
-    # round-2 demo config (the divergence witness)
-    "baseline": dict(wu=3, inner=50, wct=-1.0, mu_step=1.4),
-    # reference-style freezing on + more weight rounds
-    "freeze6": dict(wu=6, inner=50, wct=0.01, mu_step=1.4),
-    "freeze10": dict(wu=10, inner=30, wct=0.01, mu_step=1.4),
-    # gentler mu schedule with freezing
-    "gentle8": dict(wu=8, inner=50, wct=0.01, mu_step=1.2),
+    # round-2 demo config (the divergence witness); inner=50 = reference
+    "baseline": dict(wu=3, inner=50, wct=-1.0, mu_step=1.4, tol=0.2),
+    # HISTORICAL (distance-to-binary freezing, round-3 first attempt):
+    # froze the whole edge set at weight 1 under small mu — cost 417k,
+    # 2,887 accepts. Kept in the artifact as the negative result; the
+    # semantics were corrected to the reference's reject-freeze
+    # (PGOAgentROS.cpp:1049-1056) after this measurement.
+    "freeze6": dict(wu=6, inner=50, wct=0.01, mu_step=1.4, tol=0.2),
+    # reference reject-freeze semantics (weight < wct -> rejected+frozen)
+    "rejfreeze": dict(wu=3, inner=50, wct=0.01, mu_step=1.4, tol=0.2),
+    # tighter post-GNC termination: the cross-schedule ATE may be loose
+    # termination, not accept-set divergence (28 flips of 3,644)
+    "tight": dict(wu=3, inner=50, wct=-1.0, mu_step=1.4, tol=0.05),
+    "rejfreeze_tight": dict(
+        wu=4, inner=50, wct=0.01, mu_step=1.4, tol=0.05
+    ),
 }
 
 
@@ -74,7 +83,7 @@ def solve(rule, c):
         robust_opt_num_resets=0,
         robust_opt_inner_iters_per_robot=c["inner"],
         weight_convergence_threshold=c["wct"],
-        relative_change_tolerance=0.2,
+        relative_change_tolerance=c.get("tol", 0.2),
         RTR_gradnorm_tol=0.5,
         dtype="float64",
     )

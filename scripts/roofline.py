@@ -63,53 +63,6 @@ def log(m):
     print(m, flush=True)
 
 
-# --------------------------------------------------------------------- peaks
-
-def measure_vpu_peak():
-    """Serial fp32 FMA chain entirely in VMEM — attainable VPU throughput.
-
-    Slope-based: the tunneled runtime's per-dispatch wall time is noisy
-    (0.1–1 ms), so two iteration counts are timed and the peak comes from
-    the work DELTA over the time delta — dispatch cost cancels."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    R_, C_ = 64, 2560
-
-    def make(VI):
-        def kern(x_ref, o_ref):
-            def body(i, s):
-                a, b = s
-                a = a * 1.0000001 + b
-                b = b * 0.9999999 + a
-                return (a, b)
-
-            a, b = jax.lax.fori_loop(0, VI, body, (x_ref[:], x_ref[:] * 0.5))
-            o_ref[:] = a + b
-
-        return pl.pallas_call(
-            kern,
-            out_shape=jax.ShapeDtypeStruct((R_, C_), jnp.float32),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        )
-
-    x = jnp.ones((R_, C_), jnp.float32)
-
-    def best(f):
-        f(x).block_until_ready()
-        ts = []
-        for _ in range(7):
-            t0 = time.time()
-            f(x).block_until_ready()
-            ts.append(time.time() - t0)
-        return min(ts)
-
-    v1, v2 = 4000, 64000
-    dt = best(make(v2)) - best(make(v1))
-    return 4 * R_ * C_ * (v2 - v1) / dt
-
-
 # ---------------------------------------------------------- analytic counts
 
 def edge_pass_ops_per_lane(r, d):

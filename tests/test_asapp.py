@@ -164,3 +164,52 @@ def test_stepsize_decay_beats_constant():
     g0 = float(eng._stepsize_at(jnp.asarray(0)))
     g200 = float(eng._stepsize_at(jnp.asarray(200)))
     assert abs(g0 - 0.3) < 1e-9 and abs(g200 - 0.15) < 1e-9
+
+
+def test_fused_tick_matches_xla_tick():
+    """The single-Pallas-kernel ASAPP tick (ops/fused_asapp.py, interpret
+    mode on CPU) reproduces the XLA vmap tick: same PRNG stream, same
+    staleness slots, same per-robot movement and iterates to fp32 op-order
+    tolerance, over several chained ticks."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dpgo_ros_tpu.io.datasets import load_g2o_dataset
+    from dpgo_ros_tpu.models.problem import LiftedProblem
+    from dpgo_ros_tpu.parallel.asapp import ASAPPEngine
+    from dpgo_ros_tpu.parallel.rbcd import RBCDEngine
+    from dpgo_ros_tpu.utils.config import AgentConfig, InitMethod
+
+    data = load_g2o_dataset("smallGrid3D", num_robots=2)
+    prob = LiftedProblem.from_data(data, r=5, dtype=jnp.float32)
+    base = dict(
+        num_robots=2, asynchronous=True, RGD_stepsize=0.2,
+        max_delayed_iterations=2, asynchronous_rate=200.0,  # 2 steps/tick
+        local_initialization_method=InitMethod.ODOMETRY,
+        dtype="float32",
+    )
+    st0 = RBCDEngine(
+        prob, AgentConfig(**base)
+    ).initialize()
+
+    eng_x = ASAPPEngine(prob, AgentConfig(use_fused_kernel=False, **base))
+    eng_f = ASAPPEngine(prob, AgentConfig(use_fused_kernel=True, **base))
+    assert not eng_x._use_fused and eng_f._use_fused
+
+    sx = eng_x.init_state(st0.X)
+    sf = eng_f.init_state(st0.X)
+    run_x = eng_x.make_fused_run()
+    run_f = eng_f.make_fused_run()
+    until = jnp.asarray(5, jnp.int32)
+    sx = run_x(sx, until)
+    sf = run_f(sf, until)
+    assert int(sx.tick) == int(sf.tick) == 5
+    scale = float(jnp.max(jnp.abs(sx.X)))
+    assert float(jnp.max(jnp.abs(sx.X - sf.X))) < 2e-4 * scale
+    np.testing.assert_allclose(
+        np.asarray(sx.rel_change), np.asarray(sf.rel_change),
+        rtol=2e-3, atol=1e-5,
+    )
+    # ring buffers agree too (same slots written with the same states)
+    assert float(jnp.max(jnp.abs(sx.hist - sf.hist))) < 2e-4 * scale

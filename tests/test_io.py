@@ -112,3 +112,84 @@ def test_tunnels_loader():
     # known-inlier column respected
     assert data.measurements.fixed_weight.any()
     assert (~data.measurements.fixed_weight).any()
+
+
+def test_balanced_contiguous_partition():
+    """Work-balanced contiguous cuts: contiguity, non-empty blocks, and a
+    bottleneck no worse than the equal-count split (the linear-partition
+    optimum is <= any other contiguous split's max block sum)."""
+    import numpy as np
+
+    from dpgo_ros_tpu.io.datasets import load_g2o_dataset
+    from dpgo_ros_tpu.io.partition import (
+        balanced_contiguous_partition,
+        contiguous_partition,
+        pose_work_weights,
+    )
+
+    rng = np.random.default_rng(0)
+    for R in (2, 3, 7):
+        w = rng.uniform(0.5, 5.0, size=200)
+        robot, local = balanced_contiguous_partition(w, R)
+        assert robot.shape == (200,)
+        # contiguous and non-decreasing, all robots present
+        assert np.all(np.diff(robot) >= 0)
+        assert set(robot.tolist()) == set(range(R))
+        # local frames restart at 0 per block
+        starts = np.flatnonzero(np.r_[1, np.diff(robot)])
+        assert np.all(local[starts] == 0)
+        sums_b = np.bincount(robot, weights=w, minlength=R)
+        eq_r, _ = contiguous_partition(200, R)
+        sums_e = np.bincount(eq_r, weights=w, minlength=R)
+        assert sums_b.max() <= sums_e.max() + 1e-9
+
+    # parking-garage@5: the motivating case (SCALING_r03.json) — work skew
+    # drops from ~1.73 (equal poses) to ~1.0x (balanced)
+    data_eq = load_g2o_dataset("parking-garage", num_robots=5)
+    data_bal = load_g2o_dataset(
+        "parking-garage", num_robots=5, balance="work"
+    )
+
+    def skew(data):
+        from dpgo_ros_tpu.models.problem import LiftedProblem
+
+        prob = LiftedProblem.from_data(data, r=5)
+        src = np.asarray(prob.edges.src)
+        msk = np.asarray(prob.edges.mask) > 0
+        owner = (
+            np.searchsorted(np.asarray(prob.offsets), src[msk], "right") - 1
+        )
+        work = np.asarray(prob.num_poses, float) + np.bincount(
+            owner, minlength=prob.num_robots
+        )
+        return work.max() / work.mean()
+
+    assert skew(data_eq) > 1.5
+    assert skew(data_bal) < 1.1
+    # same problem: identical measurement count and total poses
+    assert int(np.sum(data_bal.num_poses)) == int(np.sum(data_eq.num_poses))
+    assert len(data_bal.measurements) == len(data_eq.measurements)
+
+
+def test_balanced_partition_solves_to_same_optimum():
+    """Different cut points, same global problem: a 2-robot balanced-
+    partition solve reaches the same tinyGrid3D optimum."""
+    import jax.numpy as jnp
+
+    from dpgo_ros_tpu.io.datasets import load_g2o_dataset
+    from dpgo_ros_tpu.parallel.rbcd import RBCDEngine
+    from dpgo_ros_tpu.models.problem import LiftedProblem
+    from dpgo_ros_tpu.utils.config import AgentConfig, UpdateRule
+
+    data = load_g2o_dataset("tinyGrid3D", num_robots=2, balance="work")
+    prob = LiftedProblem.from_data(data, r=5)
+    eng = RBCDEngine(
+        prob,
+        AgentConfig(
+            num_robots=2, update_rule=UpdateRule.ROUND_ROBIN,
+            relative_change_tolerance=1e-2, max_iteration_number=100,
+            RTR_gradnorm_tol=0.1,
+        ),
+    )
+    _, info = eng.run(eng.initialize())
+    assert info["final_cost"] < 18.52 * 1.02
