@@ -146,6 +146,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_distributed_init_steps", type=int, default=30)
     p.add_argument("--inter_update_sleep_time", type=float, default=0.0)
     p.add_argument("--weight_convergence_threshold", type=float, default=-1.0)
+    p.add_argument(
+        "--certify", action="store_true",
+        help="after the solve, run the SE-Sync-style dual certificate "
+             "(ops/certificate.py) on the final iterate: reports "
+             "criticality residual, min eig(S) and whether the solution "
+             "is the certified GLOBAL optimum of the (final-weights) "
+             "problem; fp64 runs certify sharply, fp32 within looser "
+             "tolerances",
+    )
+    p.add_argument(
+        "--robust_opt_inner_tol", type=float, default=None,
+        help="fire GNC weight rounds on inner-phase convergence (all "
+             "robots' rel-change below this) instead of the fixed "
+             "iteration cadence (which remains as a budget cap) - makes "
+             "the accept/reject split schedule-independent",
+    )
     p.add_argument("--max_delayed_iterations", type=int, default=3)
     p.add_argument(
         "--asapp_stepsize_decay_ticks",
@@ -224,6 +240,7 @@ def args_to_config(a):
         max_distributed_init_steps=a.max_distributed_init_steps,
         inter_update_sleep_time=a.inter_update_sleep_time,
         weight_convergence_threshold=a.weight_convergence_threshold,
+        robust_opt_inner_tol=a.robust_opt_inner_tol,
         max_delayed_iterations=a.max_delayed_iterations,
         asapp_stepsize_decay_ticks=a.asapp_stepsize_decay_ticks,
         asapp_tolerance=a.asapp_tolerance,
@@ -278,12 +295,47 @@ def apply_demo(a, parser=None) -> None:
         a.robust_opt_num_weight_updates = 3
         a.robust_opt_num_resets = 3
         a.robust_opt_inner_iters_per_robot = 50
+        # deviation from the reference demo (documented): weight rounds
+        # fire on inner-phase convergence rather than the fixed cadence
+        # (which stays as the budget cap) — makes the accept/reject split
+        # schedule-independent (99.5% cross-schedule agreement, ATE 0.15%
+        # of span vs 97.7%/1.39% without; exp_tunnels_schedule.json)
+        a.robust_opt_inner_tol = 0.15  # explicit-flag-wins via the guard
         a.update_rule = "RoundRobin"
         a.local_initialization_method = "Odometry"
         a.relative_change_tolerance = 0.2
         a.RTR_gradnorm_tol = 0.5
         a.synchronize_measurements = False
 
+
+
+
+def _maybe_certify(summary, a, X, edges, weights):
+    """--certify: dual-certificate check of the final iterate (certifies
+    the global optimum of the final weighted problem; under GNC that is
+    the accepted-edge L2 problem)."""
+    if not a.certify:
+        return
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    from dpgo_ros_tpu.ops import certificate
+
+    e = _dc.replace(edges, weight=jnp.asarray(weights, edges.weight.dtype))
+    fp64 = X.dtype == jnp.float64
+    cert = certificate.certify(
+        X, e,
+        eig_tol=1e-5 if fp64 else 1e-3,
+        crit_tol=1e-4 if fp64 else 3e-2,
+        lanczos_tol=1e-6 if fp64 else 1e-4,
+    )
+    summary["certificate"] = {
+        "certified_global": bool(cert.is_global),
+        "min_eig": cert.min_eig,
+        "crit_residual": cert.crit_residual,
+        "scale": cert.scale,
+    }
 
 def main(argv=None) -> int:
     parser = build_parser()
@@ -698,6 +750,7 @@ def main(argv=None) -> int:
         }
         if "gnc_stats" in info:
             summary["gnc_stats"] = info["gnc_stats"]
+        _maybe_certify(summary, a, st.X, prob.edges, st.weights)
     summary["wall_time_sec"] = round(time.time() - t0, 3)
     print(json.dumps(summary))
 

@@ -126,6 +126,7 @@ class RBCDEngine:
             axis=0,
         )
         self._color_masks = jnp.asarray(color_masks_np)
+        self._adjf = jnp.asarray(self._adj_np.astype(np_dt))  # (R, R)
         self.Ylift: Optional[jnp.ndarray] = None
 
         # single-Pallas-kernel RTR solve (ops/fused_rtr.py): collapses a full
@@ -170,6 +171,8 @@ class RBCDEngine:
         cross = mask & (src_r != dst_r)
         adj[src_r[cross], dst_r[cross]] = True
         adj[dst_r[cross], src_r[cross]] = True
+        self._adj_np = adj  # robot adjacency — also used for the
+        # neighbor-invalidation termination rule (_finish_step)
         colors = -np.ones(nR, np.int32)
         for k in np.argsort(-adj.sum(1)):  # highest degree first
             used = set(colors[adj[k]]) - {-1}
@@ -512,7 +515,22 @@ class RBCDEngine:
             .at[self.problem.robot_of_pose]
             .max(sel)
         )
-        rel_change = jnp.where(updated_robots > 0, moved, st.rel_change)
+        # neighbor invalidation (round-3 termination fix): a robot's
+        # recorded rel-change goes STALE when a neighbor later moves — the
+        # reference's last-reported-relative-change termination shares this
+        # hazard and can stop at a blockwise-stale non-critical point
+        # (observed: tinyGrid 2-robot Uniform run terminating with
+        # rel=[0,0] at cost 21.6 while block 1's true gradient norm was
+        # 25.4). Movement m_k of robot k bounds the shift of a neighbor's
+        # block optimum (continuity), so bump every non-updated neighbor's
+        # rel-change to at least max_k adj[k,j]·m_k — termination then
+        # requires a full quiescent neighborhood.
+        bump = (moved * updated_robots) @ self._adjf
+        rel_change = jnp.where(
+            updated_robots > 0,
+            moved,
+            jnp.maximum(st.rel_change, bump),
+        )
         X_prev = jnp.where(mask > 0, st.X, st.X_prev)
         return RBCDState(
             X=X_new,
@@ -655,13 +673,28 @@ class RBCDEngine:
         t_start = time.time()
         it = 0
         cache = self._solver_cache(self._edges(state.weights))
+        last_wu_gi = int(state.iteration)
         while it < max_iters:
             # GNC outer round? (global iteration counter — matches the fused
             # path and stays on the same cadence across checkpoint resumes)
             gi = int(state.iteration)
-            if gnc and gi > 0 and gi % inner == 0 and (
+            if cfg.robust_opt_inner_tol is not None:
+                # convergence-gated rounds: fire once every robot's block
+                # has settled below inner_tol (residuals then sit at the
+                # weighted optimum — schedule-independent); the fixed
+                # cadence stays as a budget cap
+                fire = bool(
+                    np.all(
+                        np.asarray(state.rel_change)
+                        < cfg.robust_opt_inner_tol
+                    )
+                ) or (gi - last_wu_gi) >= inner
+            else:
+                fire = gi % inner == 0
+            if gnc and gi > 0 and fire and (
                 state.weight_update_count < cfg.robust_opt_num_weight_updates
             ):
+                last_wu_gi = gi
                 state = self._weight_upd(state)
                 cache = self._solver_cache(self._edges(state.weights))
                 history["event"].append((it, "UPDATE_WEIGHT"))
@@ -830,7 +863,8 @@ class RBCDEngine:
 
         def make_do_iter(Xt_init):
           def do_iter(carry):
-            Xt, it, cost, rel, weights, fixed, mu, wuc, cache, rel_h, ev_h = carry
+            (Xt, it, cost, rel, weights, fixed, mu, wuc, last_wu, cache,
+             rel_h, ev_h) = carry
             wu_fired = jnp.asarray(False)
             if gnc:
                 def wu(args):
@@ -868,11 +902,20 @@ class RBCDEngine:
                         cache_from_weights(s2.weights),
                     )
 
+                if cfg.robust_opt_inner_tol is not None:
+                    # convergence-gated rounds (schedule-independent
+                    # residuals); fixed cadence remains as the budget cap
+                    fire = jnp.all(
+                        rel < cfg.robust_opt_inner_tol
+                    ) | ((it - last_wu) >= inner)
+                else:
+                    fire = jnp.mod(it, inner) == 0
                 wu_fired = (
                     (it > 0)
-                    & (jnp.mod(it, inner) == 0)
+                    & fire
                     & (wuc < cfg.robust_opt_num_weight_updates)
                 )
+                last_wu = jnp.where(wu_fired, it, last_wu)
                 Xt, weights, fixed, mu, wuc, cache = jax.lax.cond(
                     wu_fired,
                     wu,
@@ -912,19 +955,23 @@ class RBCDEngine:
             upd = jax.lax.dynamic_slice(
                 stats, (0, fused_rtr._S_UPD), (1, R)
             )[0]
-            rel2 = jnp.where(upd > 0, moved, rel)
+            # neighbor invalidation — see _finish_step
+            bump = (moved * upd.astype(self.dtype)) @ self._adjf
+            rel2 = jnp.where(
+                upd > 0, moved, jnp.maximum(rel, bump)
+            )
             cost2 = stats[0, 1].astype(self.dtype)
             if record:
                 rel_h = rel_h.at[it].set(rel2)
                 ev_h = ev_h.at[it].set(wu_fired.astype(jnp.int8))
             return (
                 Xt2, it + 1, cost2, rel2, weights, fixed, mu, wuc,
-                cache, rel_h, ev_h,
+                last_wu, cache, rel_h, ev_h,
             )
           return do_iter
 
         def cond_fn(carry):
-            _, it, _, rel, _, _, _, wuc, _, _, _ = carry
+            _, it, _, rel, _, _, _, wuc, _, _, _, _ = carry
             ready = jnp.all(rel < tol)
             if gnc:
                 ready = ready & (wuc >= cfg.robust_opt_num_weight_updates)
@@ -943,11 +990,12 @@ class RBCDEngine:
                 rel_h = ev_h = jnp.zeros((), jnp.int8)
             carry = (
                 Xt0, st.iteration, st.cost, st.rel_change, st.weights,
-                st.fixed_mask, st.mu, st.weight_update_count, cache,
-                rel_h, ev_h,
+                st.fixed_mask, st.mu, st.weight_update_count,
+                st.iteration, cache, rel_h, ev_h,
             )
             (
-                Xt, it, cost, rel, weights, fixed, mu, wuc, _, rel_h, ev_h
+                Xt, it, cost, rel, weights, fixed, mu, wuc, _, _,
+                rel_h, ev_h,
             ) = jax.lax.while_loop(cond_fn, make_do_iter(Xt0), carry)
             X = fused_rtr.from_t(Xt, prob.n, prob.r, prob.d + 1)
             out = RBCDState(
@@ -994,7 +1042,7 @@ class RBCDEngine:
 
         def make_do_iter(X_init):
           def do_iter(carry):
-            st, cache, rel_h, ev_h = carry
+            st, cache, last_wu, rel_h, ev_h = carry
             i = st.iteration
             wu_fired = jnp.asarray(False)
             if gnc:
@@ -1019,11 +1067,18 @@ class RBCDEngine:
                     # weights changed → refresh the cached solver constants
                     return s2, self._solver_cache(self._edges(s2.weights))
 
+                if cfg.robust_opt_inner_tol is not None:
+                    fire = jnp.all(
+                        st.rel_change < cfg.robust_opt_inner_tol
+                    ) | ((i - last_wu) >= inner)
+                else:
+                    fire = jnp.mod(i, inner) == 0
                 wu_fired = (
                     (i > 0)
-                    & (jnp.mod(i, inner) == 0)
+                    & fire
                     & (st.weight_update_count < cfg.robust_opt_num_weight_updates)
                 )
+                last_wu = jnp.where(wu_fired, i, last_wu)
                 st, cache = jax.lax.cond(
                     wu_fired,
                     wu,
@@ -1046,7 +1101,7 @@ class RBCDEngine:
             if record:
                 rel_h = rel_h.at[i].set(st2.rel_change)
                 ev_h = ev_h.at[i].set(wu_fired.astype(jnp.int8))
-            return st2, cache, rel_h, ev_h
+            return st2, cache, last_wu, rel_h, ev_h
           return do_iter
 
         def cond_fn(carry):
@@ -1068,8 +1123,10 @@ class RBCDEngine:
                 ev_h = jnp.zeros((max_iters,), jnp.int8)
             else:
                 rel_h = ev_h = jnp.zeros((), jnp.int8)
-            out, _, rel_h, ev_h = jax.lax.while_loop(
-                cond_fn, make_do_iter(st.X), (st, cache, rel_h, ev_h)
+            out, _, _, rel_h, ev_h = jax.lax.while_loop(
+                cond_fn,
+                make_do_iter(st.X),
+                (st, cache, st.iteration, rel_h, ev_h),
             )
             if record:
                 return out, rel_h, ev_h

@@ -536,7 +536,16 @@ def build_spmd_step(
 
         per_pose = jnp.sqrt(jnp.sum((X_new - Xg) ** 2, axis=(-2, -1)))
         rc_own = jnp.max(per_pose * own)
-        rc = jnp.where(active > 0, rc_own, st.rel_change[0, 0])
+        # neighbor invalidation (see rbcd._finish_step): an inactive
+        # device's stale rel-change is bumped by the other robots'
+        # movement this step (conservative: any mover counts), so
+        # termination requires a quiescent neighborhood, not a stale zero
+        rc_others = jnp.max(per_pose * (1.0 - own))
+        rc = jnp.where(
+            active > 0,
+            rc_own,
+            jnp.maximum(st.rel_change[0, 0], rc_others),
+        )
 
         X_prev_own = jnp.where(
             active > 0,

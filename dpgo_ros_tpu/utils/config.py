@@ -131,6 +131,17 @@ class AgentConfig:
     robust_opt_num_resets: int = 0
     robust_opt_min_convergence_ratio: float = 0.0
     robust_opt_inner_iters_per_robot: int = 10
+    # Convergence-gated GNC weight rounds (TPU-build extension; None =
+    # reference fixed-cadence semantics). When set, a weight round fires as
+    # soon as EVERY robot's rel-change has fallen below this tolerance —
+    # i.e. each graduated subproblem is solved to (approximate) convergence
+    # before reweighting, which is what GNC theory assumes and what makes
+    # the accept/reject split schedule-independent: residuals at the weight
+    # round are evaluated at the weighted optimum, which does not depend on
+    # the block-update order. The fixed inner-iteration cadence remains as
+    # a budget cap (fires anyway after inner_iters x num_robots updates
+    # since the last round).
+    robust_opt_inner_tol: Optional[float] = None
     robust_init_min_inliers: int = 5
     # At TERMINATE, classify still-undecided GNC weights by the final
     # residual against barc instead of rejecting them wholesale. With the

@@ -61,6 +61,21 @@ CONFIGS = {
     "rejfreeze_tight": dict(
         wu=4, inner=50, wct=0.01, mu_step=1.4, tol=0.05
     ),
+    # convergence-gated weight rounds: residuals at each round sit at the
+    # weighted optimum (schedule-independent by construction); fixed
+    # cadence stays as the budget cap
+    "innertol": dict(
+        wu=3, inner=50, wct=-1.0, mu_step=1.4, tol=0.1, inner_tol=0.3
+    ),
+    "innertol_tight": dict(
+        wu=3, inner=100, wct=-1.0, mu_step=1.4, tol=0.1, inner_tol=0.15
+    ),
+    # the winning config (= innertol_tight) + the common-accept-set refit
+    # attribution diagnostic
+    "final": dict(
+        wu=3, inner=100, wct=-1.0, mu_step=1.4, tol=0.1, inner_tol=0.15,
+        refit=True,
+    ),
 }
 
 
@@ -83,6 +98,7 @@ def solve(rule, c):
         robust_opt_num_resets=0,
         robust_opt_inner_iters_per_robot=c["inner"],
         weight_convergence_threshold=c["wct"],
+        robust_opt_inner_tol=c.get("inner_tol"),
         relative_change_tolerance=c.get("tol", 0.2),
         RTR_gradnorm_tol=0.5,
         dtype="float64",
@@ -161,6 +177,57 @@ def main():
                 for k, v in runs.items()
             },
         }
+        if c.get("refit"):
+            # decisive attribution: refit BOTH schedules on the COMMON
+            # accept set (disputed boundary edges rejected, weights frozen,
+            # pure L2) to a tight tolerance — if this ATE collapses, the
+            # cross-schedule ATE is entirely the flipped boundary edges;
+            # if it persists, it is convergence slack
+            import dataclasses as _dc
+
+            w_common = (a["acc"] & b["acc"]).astype(np.float64)
+            w_common[~loop] = 1.0  # odometry etc. keep weight 1
+            refits = {}
+            for rule_name, run in (("ROUND_ROBIN", a), ("UNIFORM", b)):
+                data = load_tunnels()
+                prob2 = LiftedProblem.from_data(
+                    data, r=5, dtype=jnp.float64
+                )
+                prob2 = _dc.replace(
+                    prob2,
+                    edges=_dc.replace(
+                        prob2.edges, weight=jnp.asarray(w_common)
+                    ),
+                )
+                cfg2 = AgentConfig(
+                    num_robots=8,
+                    update_rule=UpdateRule[rule_name],
+                    relative_change_tolerance=0.02,
+                    max_iteration_number=2000,
+                    RTR_gradnorm_tol=0.5,
+                    dtype="float64",
+                )
+                eng2 = RBCDEngine(prob2, cfg2)
+                st2 = eng2.initialize(trajectory=run["T"])
+                st2, info2 = eng2.run(st2)
+                T2, _ = eng2.finalize(st2)
+                refits[rule_name] = np.asarray(T2)
+                log(
+                    f"{name}/refit/{rule_name}: {info2['iterations']} "
+                    f"iters, cost {info2['final_cost']:.1f}"
+                )
+            ate_refit = float(
+                rounding.ate_translation(
+                    jnp.asarray(refits["ROUND_ROBIN"]),
+                    jnp.asarray(refits["UNIFORM"]),
+                )
+            )
+            entry["common_set_refit_ate"] = ate_refit
+            entry["common_set_refit_ate_over_span"] = ate_refit / span
+            log(
+                f"{name}: common-accept-set refit ATE {ate_refit:.3f} "
+                f"({100*ate_refit/span:.3f}% of span)"
+            )
         results[name] = entry
         log(
             f"{name}: agreement {agree:.4f} ({int(flipped.sum())} flips), "

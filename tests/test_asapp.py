@@ -124,6 +124,7 @@ def test_fleet_asynchronous_mode():
     assert f < 40.0, f
 
 
+@pytest.mark.slow
 def test_stepsize_decay_beats_constant():
     """O(1/t) stepsize decay (asapp_stepsize_decay_ticks) removes the
     bounded-staleness noise ball: on the same budget the decayed run must

@@ -84,6 +84,7 @@ def test_fleet_lossy_transport_still_converges():
     assert _global_cost(data, T) < 18.52 * 1.10
 
 
+@pytest.mark.slow
 def test_dead_robot_recovery():
     """Kill a robot mid-solve: the leader must time out, shrink the active
     set, broadcast RECOVER, and finish with the survivors (reference

@@ -94,6 +94,7 @@ def test_gnc_tls_local_init_beats_odometry_under_outliers():
     assert f_robust < f_chordal
 
 
+@pytest.mark.slow
 def test_gnc_engine_outlier_precision_recall():
     """smallGrid3D + 20% injected gross outliers: GNC must reject (almost)
     all outliers and keep (almost) all true loop closures."""

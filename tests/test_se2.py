@@ -56,6 +56,7 @@ def _se2_dataset(n=20, num_robots=2, seed=0, noise=0.02):
 
 
 @pytest.mark.parametrize("r", [2, 3])
+@pytest.mark.slow
 def test_se2_single_and_two_robot(r):
     data = _se2_dataset()
     prob = LiftedProblem.from_data(data, r=r)

@@ -160,3 +160,33 @@ def test_run_history_telemetry():
     assert len(h["cost"]) == info["iterations"]
     assert all(t >= 0 for t in h["iter_time_sec"])
     assert len(h["rel_change"]) == info["iterations"]
+
+
+def test_no_premature_termination_on_stale_rel_change():
+    """Round-3 regression (termination fix): a robot's recorded rel-change
+    goes stale when a neighbor later moves; without neighbor invalidation
+    the 2-robot Uniform tinyGrid run terminated at rel=[0,0] with cost
+    21.6 while block 1's true masked gradient norm was 25.4. With the fix
+    the run must continue to the certified global optimum."""
+    from dpgo_ros_tpu.ops import certificate
+
+    data = load_g2o_dataset("tinyGrid3D", num_robots=2)
+    prob = LiftedProblem.from_data(data, r=5)
+    cfg = AgentConfig(
+        num_robots=2,
+        relative_change_tolerance=1e-7,
+        RTR_gradnorm_tol=1e-11,
+        RTR_iterations=50,
+        RTR_tCG_iterations=200,
+        max_iteration_number=400,
+        dtype="float64",
+    )
+    eng = RBCDEngine(prob, cfg)
+    st, info = eng.run(eng.initialize())
+    assert info["final_cost"] == pytest.approx(TINY_OPT_COST, abs=1e-2)
+    # the DISTRIBUTED solution itself passes the global-optimality
+    # certificate (dual PSD + criticality)
+    cert = certificate.certify(
+        st.X, eng._edges(st.weights), crit_tol=1e-4, eig_tol=1e-5
+    )
+    assert cert.is_global
