@@ -46,6 +46,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dataset", help="bundled dataset name (e.g. sphere2500)")
     p.add_argument("--csv", nargs="*", help="per-robot measurements.csv paths")
     p.add_argument(
+        "--synthetic", choices=["sphere", "grid3d"],
+        help="generate a synthetic world with exact ground truth "
+             "(io/synthetic.py) instead of loading a dataset; summary "
+             "gains ate_vs_ground_truth (+outlier precision/recall under "
+             "GNC)",
+    )
+    p.add_argument("--synthetic_n", type=int, default=1000,
+                   help="number of poses (sphere) / lattice size n^(1/3) "
+                        "rounded (grid3d)")
+    p.add_argument("--synthetic_outlier_ratio", type=float, default=0.0)
+    p.add_argument("--synthetic_rot_noise", type=float, default=0.01)
+    p.add_argument("--synthetic_trans_noise", type=float, default=0.05)
+    p.add_argument(
         "--mode",
         choices=["engine", "fused", "fleet", "spmd", "async"],
         default="engine",
@@ -374,7 +387,24 @@ def main(argv=None) -> int:
     cfg = args_to_config(a)
 
     # dataset resolution
-    if a.csv:
+    synth_gt = synth_out = None
+    if a.synthetic:
+        from dpgo_ros_tpu.io.synthetic import generate_world
+
+        kw = dict(n=a.synthetic_n)
+        if a.synthetic == "grid3d":
+            side = max(2, round(a.synthetic_n ** (1.0 / 3.0)))
+            kw = dict(grid_shape=(side, side, side))
+        data, synth_gt, synth_out = generate_world(
+            a.synthetic, num_robots=a.num_robots,
+            rot_noise=a.synthetic_rot_noise,
+            trans_noise=a.synthetic_trans_noise,
+            outlier_ratio=a.synthetic_outlier_ratio,
+            seed=a.seed,
+            balance=a.partition_balance,
+            **kw,
+        )
+    elif a.csv:
         data = load_multi_robot_csv(a.csv)
     elif a.g2o:
         data = partition_g2o(a.g2o, a.num_robots, balance=a.partition_balance)
@@ -750,6 +780,25 @@ def main(argv=None) -> int:
         }
         if "gnc_stats" in info:
             summary["gnc_stats"] = info["gnc_stats"]
+        if synth_gt is not None:
+            from dpgo_ros_tpu.ops import rounding as _rnd
+
+            ate = float(_rnd.ate_translation(
+                jnp.asarray(np.asarray(T)), jnp.asarray(synth_gt)))
+            summary["ate_vs_ground_truth"] = ate
+            if synth_out is not None and synth_out.any():
+                w = np.asarray(st.weights)[: len(data.measurements)]
+                loops = (
+                    np.asarray(data.measurements.edge_type) != 0
+                )
+                rej = w < 0.5
+                tp = int((rej & synth_out).sum())
+                summary["outlier_ground_truth"] = {
+                    "planted": int(synth_out.sum()),
+                    "rejected_true": tp,
+                    "rejected_false": int((rej & loops & ~synth_out).sum()),
+                    "missed": int((~rej & synth_out).sum()),
+                }
         _maybe_certify(summary, a, st.X, prob.edges, st.weights)
     summary["wall_time_sec"] = round(time.time() - t0, 3)
     print(json.dumps(summary))
