@@ -1018,9 +1018,13 @@ def _make_rtr_kernel(
     else:
         # the default 16 MB scoped-VMEM cap is conservative (v5e has 128 MB);
         # big-n problems (cubicle n_pad=5888, D=4 diag classes) exceed it
-        # once XLA wraps the call in a loop with double-buffered copies
+        # once XLA wraps the call in a loop with double-buffered copies.
+        # Very large worlds (synthetic n >= 25k: tCG carries ~12 (C, n_pad)
+        # live arrays) need the full budget.
         compiler_params = pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 2**20,
+            vmem_limit_bytes=(
+                112 * 2**20 if n_pad > 16384 else 64 * 2**20
+            ),
         )
         scratch = [
             pltpu.VMEM((2 * C, n_pad), jnp.float32),  # scatter accumulator

@@ -29,6 +29,7 @@ def _setup(num_robots, K, stepsize=5e-2):
     return prob, eng, st0
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("K", [0, 2])
 def test_asapp_decreases_cost(K):
     prob, eng, st0 = _setup(2, K)
@@ -68,6 +69,7 @@ def test_asapp_relative_change_termination():
     assert np.all(np.asarray(st.rel_change) < 1e-3)
 
 
+@pytest.mark.slow
 def test_cli_dispatches_asynchronous_mode(capsys):
     """Round-1 verdict regression: --asynchronous must actually run the
     ASAPP path (reference solver pick, ``PGOAgentROSNode.cpp:87-93``)."""
@@ -92,6 +94,7 @@ def test_cli_dispatches_asynchronous_mode(capsys):
     assert out["final_cost"] < 40.0  # tinyGrid3D optimum ≈ 18.5
 
 
+@pytest.mark.slow
 def test_fleet_asynchronous_mode():
     """Agent-FSM async mode (``runOnceAsynchronous`` analog): no UPDATE
     tokens, continuous local RGD, status-gossip termination."""
@@ -167,6 +170,7 @@ def test_stepsize_decay_beats_constant():
     assert abs(g0 - 0.3) < 1e-9 and abs(g200 - 0.15) < 1e-9
 
 
+@pytest.mark.slow
 def test_fused_tick_matches_xla_tick():
     """The single-Pallas-kernel ASAPP tick (ops/fused_asapp.py, interpret
     mode on CPU) reproduces the XLA vmap tick: same PRNG stream, same

@@ -42,6 +42,7 @@ def _dense_S(X, Lam, e):
     return S
 
 
+@pytest.mark.slow
 def test_certificate_operator_matches_dense():
     """S is symmetric, annihilates Xᵀ at criticality, and the shifted
     Lanczos min-eig agrees with a dense eigensolve."""
@@ -86,6 +87,7 @@ def test_certify_rejects_noncritical_point():
     assert cert.eigvec is None  # fails fast, no eigensolve
 
 
+@pytest.mark.slow
 def test_staircase_escapes_suboptimal_critical_point():
     """A rank-d (= 3) solve from an adversarial random init lands in a
     genuinely suboptimal critical point (f ≈ 355 vs optimum 18.5); the

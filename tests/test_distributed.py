@@ -116,6 +116,7 @@ def test_dead_robot_recovery():
     assert res["trajectories"].get(1) is not None
 
 
+@pytest.mark.slow
 def test_gnc_fleet_rejects_outlier():
     """Inject a gross outlier shared loop closure; the distributed GNC
     rounds must drive its weight to 0 while keeping true edges."""

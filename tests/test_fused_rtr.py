@@ -191,6 +191,7 @@ def test_weight_rows_reproduce_cost(small_problem):
     assert float(stats[0, 0]) == pytest.approx(f_ref, rel=1e-4)
 
 
+@pytest.mark.slow
 def test_spmd_fused_kernel_matches_xla_mesh():
     """The fused kernel inside the shard_map program (per-device KernelGraph
     constants) tracks the XLA spmd path on a virtual 4-device mesh."""

@@ -60,6 +60,7 @@ def inject_outliers(data, frac: float, seed: int = 0):
     return data, is_outlier
 
 
+@pytest.mark.slow
 def test_gnc_tls_local_init_beats_odometry_under_outliers():
     """GNC_TLS robust local initialization (reference
     ``localInitializationMethod=GNC_TLS``) must produce a lower-cost init
@@ -135,6 +136,7 @@ def test_gnc_engine_outlier_precision_recall():
 
 @pytest.mark.parametrize("rtype", [RobustCostType.TLS, RobustCostType.GM,
                                    RobustCostType.HUBER])
+@pytest.mark.slow
 def test_irls_robust_costs_reject_outliers(rtype):
     """The non-GNC robust kernels (IRLS reweighting rounds) must also
     suppress gross outliers (reference RobustCost family)."""

@@ -144,6 +144,7 @@ def test_spmd_more_robots_than_devices_via_grouping():
     assert f < 1025.4 * 1.01  # centralized optimum
 
 
+@pytest.mark.slow
 def test_spmd_more_devices_than_robots():
     """Empty mesh slots (8 devices, 5 robots) must be inert."""
     data = load_g2o_dataset("smallGrid3D", num_robots=5)

@@ -91,6 +91,7 @@ def test_async_mode_writes_reference_schema(tmp_path):
         _check_rows(data, k)
 
 
+@pytest.mark.slow
 def test_gnc_event_rows_interleaved(tmp_path):
     """UPDATE_WEIGHT event rows appear at weight-round iterations (engine +
     fused agree on positions; reference logString interleaving)."""
