@@ -81,3 +81,33 @@ def test_se2_single_and_two_robot(r):
     # valid SO(2) blocks
     RtR = np.einsum("nij,nik->njk", T[:, :, :2], T[:, :, :2])
     assert np.allclose(RtR, np.eye(2)[None], atol=1e-6)
+
+
+def test_fused_kernel_se2_matches_xla():
+    """The fused RTR kernel is dimension-generic: a d=2 engine run with
+    use_fused_kernel=True (interpret mode on CPU) matches the XLA path."""
+    import jax.numpy as jnp
+
+    data = _se2_dataset(n=24, num_robots=2)
+    out = {}
+    for fused in (False, True):
+        prob = LiftedProblem.from_data(data, r=3, dtype=jnp.float32)
+        eng = RBCDEngine(
+            prob,
+            AgentConfig(
+                num_robots=2,
+                dimension=2,
+                relaxation_rank=3,
+                update_rule=UpdateRule.ROUND_ROBIN,
+                relative_change_tolerance=0.0,
+                max_iteration_number=8,
+                RTR_gradnorm_tol=0.1,
+                dtype="float32",
+                use_fused_kernel=fused,
+            ),
+        )
+        assert eng._use_fused == fused
+        run = eng.make_fused_run(8)
+        st = run(eng.initialize())
+        out[fused] = float(st.cost)
+    assert out[True] == pytest.approx(out[False], rel=2e-3)
