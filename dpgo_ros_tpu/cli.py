@@ -362,6 +362,11 @@ def main(argv=None) -> int:
         ensure_cpu_devices(a.cpu_devices)
     import jax
 
+    if a.dtype == "float64":
+        # without this the solver state silently truncates to fp32
+        # (scripts/ and tests/ enable it themselves; the CLI must too)
+        jax.config.update("jax_enable_x64", True)
+
     # persistent XLA compile cache (platform-specific: cache entries are
     # machine-code AOT results; the remote-TPU compile service is slow —
     # a cold tunnels-GNC fused program costs minutes, a warm one nothing)

@@ -105,3 +105,32 @@ def test_async_mode_uses_per_tick_tolerance():
     cfg = args_to_config(a)
     assert cfg.asapp_tolerance == 1e-4
     assert cfg.relative_change_tolerance == 0.2
+
+
+def test_cli_dtype_float64_enables_x64():
+    """``--dtype float64`` must enable jax x64 inside ``main()`` — without it
+    the solver state silently truncates to fp32 (regression: the advertised
+    ``--certify --dtype float64`` recipe ran fp32 and reported a criticality
+    residual 5 orders of magnitude worse). Run in a subprocess because the
+    test session's own x64 flag (conftest) would mask the bug in-process."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("JAX_ENABLE_X64", None)
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "dpgo_ros_tpu.cli",
+            "--dataset", "tinyGrid3D", "--platform", "cpu",
+            "--dtype", "float64",
+            "--relative_change_tolerance", "1e-6",
+            "--RTR_gradnorm_tol", "1e-9",
+        ],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    # fp64 reaches the certified optimum to ~1e-9; fp32 is ~3e-6 off
+    assert abs(res["final_cost"] - 18.519366421304092) < 1e-7
