@@ -319,6 +319,8 @@ def apply_demo(a, parser=None) -> None:
         a.relative_change_tolerance = 0.2
         a.RTR_gradnorm_tol = 0.5
         a.synchronize_measurements = False
+        # reference dpgo_gnc_demo.launch:44 draws GNC-colored loop markers
+        a.visualize_loop_closures = True
 
 
 
@@ -426,6 +428,11 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     summary = {}
+    export_weights = None  # final GNC weights for the --output loop overlay
+    if cfg.verbose:
+        print("resolved config: "
+              + json.dumps(dataclasses.asdict(cfg), default=str),
+              file=sys.stderr)
     if a.mode == "async" or (a.asynchronous and a.mode == "engine"):
         # the reference's asynchronous (ASAPP) mode: RGD local loops under
         # bounded staleness, no UPDATE tokens
@@ -644,6 +651,7 @@ def main(argv=None) -> int:
         w_final = jnp.asarray(
             gather_weights(sp, st, prob.edges.num_edges), jnp.float32
         )
+        export_weights = np.asarray(w_final)
         f_final = float(
             quadratic.cost(jnp.asarray(Xg), eng._edges(w_final))
         )
@@ -761,6 +769,19 @@ def main(argv=None) -> int:
                     }
             else:
                 st, info = eng.run(st, callback=cb)
+                if cfg.verbose and info["history"]["rel_change_robots"]:
+                    # reference verbose prints the core solver's per-update
+                    # telemetry (fOpt/gradnorm, ``PGOAgentROS.cpp:166-172``)
+                    h = info["history"]
+                    for i, rr in enumerate(h["rel_change_robots"]):
+                        print(
+                            f"iter {i}: max_rel_change "
+                            f"{float(np.max(rr)):.6g} "
+                            f"iter_time {h['iter_time_sec'][i]:.4f}s"
+                            + (f" [{h['event'][i]}]"
+                               if h.get("event") and h["event"][i] else ""),
+                            file=sys.stderr,
+                        )
                 if a.log_directory and info["history"]["rel_change_robots"]:
                     from dpgo_ros_tpu.utils import telemetry
 
@@ -778,6 +799,7 @@ def main(argv=None) -> int:
             mgr.save(int(st.iteration), st, eng.Ylift,
                      meta={"final": True, "cost": float(st.cost)})
         T, st = eng.finalize(st)
+        export_weights = np.asarray(st.weights)
         summary = {
             "mode": a.mode,
             "iterations": info["iterations"],
@@ -809,12 +831,19 @@ def main(argv=None) -> int:
     print(json.dumps(summary))
 
     if a.output and T is not None:
+        n_meas = len(data.measurements)
+        w_exp = (
+            np.asarray(export_weights)[:n_meas]
+            if export_weights is not None
+            else np.ones(n_meas)
+        )
         export.export_solution(
             a.output,
             np.asarray(T),
             data.num_poses,
             data.measurements,
-            np.ones(len(data.measurements)),
+            w_exp,
+            show_loops=cfg.visualize_loop_closures,
         )
         print(f"wrote {a.output}_global.g2o and per-robot TUM files",
               file=sys.stderr)

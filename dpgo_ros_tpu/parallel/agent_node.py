@@ -1395,6 +1395,13 @@ class PGOAgentNode:
         self._scheduled_iteration = it
         self._last_scheduled_robot = nxt
         self._last_schedule_tick = self._tick
+        if cfg.inter_update_sleep_time > 0:
+            # reference paces UPDATE commands to let the (lossy) network
+            # flush: ``PGOAgentROS.cpp:492`` sleeps inside
+            # publishUpdateCommand; dpgo_demo.launch uses 0.1 s
+            import time as _time
+
+            _time.sleep(cfg.inter_update_sleep_time)
         self._broadcast(
             CommandType.UPDATE, executing_robot=nxt, executing_iteration=it
         )

@@ -75,10 +75,15 @@ def export_solution(
     num_poses,
     measurements: Optional[MeasurementBatch] = None,
     weights: Optional[np.ndarray] = None,
+    show_loops: bool = True,
 ) -> None:
     """Write the fleet solution: global g2o + per-robot TUM files + GNC
     report (the dump the reference produces at TERMINATE,
-    ``publishOptimizedTrajectory``, ``PGOAgentROS.cpp:1077-1080``)."""
+    ``publishOptimizedTrajectory``, ``PGOAgentROS.cpp:1077-1080``).
+
+    ``show_loops`` gates the loop-closure overlay in the HTML only (the
+    reference's ``visualize_loop_closures`` rviz-marker switch,
+    ``PGOAgentROS.cpp:756-843``); the g2o/TUM/JSON dumps are unaffected."""
     write_g2o(prefix + "_global.g2o", trajectory, measurements)
     o = 0
     for k, nk in enumerate(np.asarray(num_poses)):
@@ -89,5 +94,7 @@ def export_solution(
     from dpgo_ros_tpu.utils.viz import write_html
 
     write_html(
-        prefix + ".html", trajectory, num_poses, measurements, weights
+        prefix + ".html", trajectory, num_poses,
+        measurements if show_loops else None,
+        weights if show_loops else None,
     )
