@@ -47,3 +47,29 @@ def test_export_solution_files(tmp_path):
 
 def test_public_poses_msg_size_positive():
     assert public_poses_msg_bytes(10, r=5, d=3) > 10 * 5 * 4 * 8
+
+
+def test_show_loops_gates_html_overlay(tmp_path):
+    """``show_loops=False`` (reference ``visualize_loop_closures`` false,
+    ``PGOAgent.launch:42``) omits the loop-closure polylines from the HTML
+    while leaving the g2o/TUM/JSON dumps untouched."""
+    data = load_g2o_dataset("tinyGrid3D", num_robots=2)
+    n = data.total_poses
+    T = np.zeros((n, 3, 4))
+    T[:, :, :3] = np.eye(3)
+    T[:, :, 3] = np.cumsum(np.ones((n, 3)) * 0.5, axis=0)
+    w = np.ones(len(data.measurements))
+    w[-1] = 0.0  # one rejected loop
+    on = str(tmp_path / "on")
+    off = str(tmp_path / "off")
+    export.export_solution(on, T, data.num_poses, data.measurements, w,
+                           show_loops=True)
+    export.export_solution(off, T, data.num_poses, data.measurements, w,
+                           show_loops=False)
+    h_on = open(on + ".html").read()
+    h_off = open(off + ".html").read()
+    # rejected-loop stroke (#d62728) appears as a polyline only when on
+    assert h_on.count('stroke="#d62728"') > 0
+    assert h_off.count('stroke="#d62728"') == 0
+    # report still written in both cases
+    assert os.path.exists(off + "_loops.json")
