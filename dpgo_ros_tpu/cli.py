@@ -527,6 +527,9 @@ def main(argv=None) -> int:
             print(f"fleet checkpoint written to {a.checkpoint_dir}",
                   file=sys.stderr)
         T = ctl.global_trajectory(res)
+        gw = ctl.global_weights(res, data.measurements)
+        if gw is not None:
+            export_weights = gw
         summary = {
             "mode": "fleet",
             "ticks": res["ticks"],

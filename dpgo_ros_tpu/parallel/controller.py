@@ -200,6 +200,45 @@ class DistributedController:
             "convergence_ratio": (acc + rej) / max(len(vals), 1),
         }
 
+    def global_weights(
+        self, result: Dict, measurements
+    ) -> Optional[np.ndarray]:
+        """Map per-agent final GNC weights onto a global measurement batch
+        (same edge-key matching and lower-ID-owner rule as
+        :meth:`gnc_statistics`). Odometry and unmatched edges get weight 1.
+        Feeds the TERMINATE-time export so the loop-closure overlay/report
+        reflects the fleet's actual accept/reject split
+        (``publishOptimizedTrajectory`` dump, ``PGOAgentROS.cpp:1077-1080``)."""
+        seen = {}
+        for a in self.agents:
+            w = result["weights"].get(a.id)
+            m = getattr(a, "final_measurements", None) or a.measurements
+            if w is None or m is None:
+                continue
+            loops = np.asarray(m.edge_type != EdgeType.ODOMETRY)
+            for k in np.where(loops)[0]:
+                key = (
+                    int(m.src_robot[k]), int(m.src_frame[k]),
+                    int(m.dst_robot[k]), int(m.dst_frame[k]),
+                )
+                owner = min(key[0], key[2])
+                if key not in seen or owner == a.id:
+                    seen[key] = float(w[k])
+        if not seen:
+            return None
+        g = measurements
+        out = np.ones(len(g.edge_type), np.float64)
+        for k in range(len(g.edge_type)):
+            if int(g.edge_type[k]) == int(EdgeType.ODOMETRY):
+                continue
+            key = (
+                int(g.src_robot[k]), int(g.src_frame[k]),
+                int(g.dst_robot[k]), int(g.dst_frame[k]),
+            )
+            if key in seen:
+                out[k] = seen[key]
+        return out
+
     def global_trajectory(self, result: Dict) -> Optional[np.ndarray]:
         """Concatenate per-robot world trajectories (robots 0..R-1)."""
         trajs = result["trajectories"]
