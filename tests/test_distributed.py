@@ -157,6 +157,20 @@ def test_gnc_fleet_rejects_outlier():
         key = (0, 1, 1, 2)
         assert a.cached_weights is not None
         assert a.cached_weights[key] <= 1e-6
+    # global_weights maps the fleet's final weights back onto the global
+    # measurement order (feeds the TERMINATE-time export): planted outlier
+    # rejected, odometry untouched
+    gm = data.measurements
+    gw = ctl.global_weights(res, gm)
+    assert gw is not None and len(gw) == len(gm)
+    planted = [
+        k for k in range(len(gm))
+        if (int(gm.src_robot[k]), int(gm.src_frame[k]),
+            int(gm.dst_robot[k]), int(gm.dst_frame[k])) == (0, 1, 1, 2)
+    ]
+    assert len(planted) == 1 and gw[planted[0]] <= 1e-6
+    odo = np.asarray(gm.edge_type) == EdgeType.ODOMETRY
+    assert np.all(gw[odo] == 1.0)
 
 
 def test_gnc_weight_freezing_and_fixed_replication():
