@@ -41,6 +41,12 @@ def build_parser() -> argparse.ArgumentParser:
         prog="dpgo_ros_tpu",
         description="TPU-native distributed pose-graph optimization",
     )
+    from dpgo_ros_tpu import __version__
+
+    p.add_argument(
+        "--version", action="version",
+        version=f"%(prog)s {__version__}",
+    )
     p.add_argument("--demo", choices=["dpgo_demo", "asapp_demo", "dpgo_gnc_demo"])
     p.add_argument("--g2o", help="path to a g2o dataset file")
     p.add_argument("--dataset", help="bundled dataset name (e.g. sphere2500)")
