@@ -65,10 +65,9 @@ def _measure(rule, num_iters):
     cfg = AgentConfig(
         num_robots=5,
         update_rule=rule,
-        # odometry init: cheap fixed-shape programs (chordal init spawns many
-        # per-robot-shape compiles — expensive over the remote-compile path
-        # and irrelevant for a throughput metric)
-        local_initialization_method=InitMethod.ODOMETRY,
+        # chordal init = the reference demo config (dpgo_demo.launch:9);
+        # its per-robot-shape compiles are one-time and persistently cached
+        local_initialization_method=InitMethod.CHORDAL,
         relative_change_tolerance=0.0,  # fixed-length run for clean timing
         max_iteration_number=num_iters,
         RTR_iterations=3,
