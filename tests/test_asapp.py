@@ -41,6 +41,7 @@ def test_asapp_decreases_cost(K):
     assert info["costs"][-1] <= info["costs"][0]
 
 
+@pytest.mark.slow
 def test_asapp_staleness_zero_matches_parallel_rgd():
     """K=0: every robot sees fresh neighbors — deterministic parallel RGD."""
     prob, eng, st0 = _setup(2, 0)

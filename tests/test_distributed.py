@@ -250,6 +250,7 @@ def test_warm_start_across_rounds():
     assert _global_cost(data, T) < 18.52 * 1.05
 
 
+@pytest.mark.slow
 def test_partitioned_fleet_forms_two_clusters():
     """A link partition splits the fleet: each component elects its lowest
     id as leader (reference cluster re-election, ``PGOAgentROS.cpp:1478-1486``)

@@ -108,6 +108,7 @@ def test_fused_single_solve_matches_xla(small_problem):
     assert upd[0] == 1.0 and upd[1] == 0.0
 
 
+@pytest.mark.slow
 def test_fused_engine_run_matches_xla_engine(small_problem):
     prob = small_problem
     base = dict(

@@ -83,6 +83,33 @@ def test_se2_single_and_two_robot(r):
     assert np.allclose(RtR, np.eye(2)[None], atol=1e-6)
 
 
+def test_se2_engine_smoke():
+    """Fast SE(2) pin: d=2 problem builds, initializes, and a short XLA-path
+    run decreases the cost (the fused-kernel equivalence pin is the slow
+    ``test_fused_kernel_se2_matches_xla``)."""
+    data = _se2_dataset(n=16, num_robots=2)
+    prob = LiftedProblem.from_data(data, r=3)
+    assert prob.d == 2
+    eng = RBCDEngine(
+        prob,
+        AgentConfig(
+            num_robots=2,
+            dimension=2,
+            relaxation_rank=3,
+            update_rule=UpdateRule.ROUND_ROBIN,
+            local_initialization_method=InitMethod.ODOMETRY,
+            relative_change_tolerance=0.0,
+            max_iteration_number=4,
+            RTR_gradnorm_tol=0.1,
+        ),
+    )
+    st = eng.initialize()
+    f0 = float(st.cost)
+    st, info = eng.run(st)
+    assert np.isfinite(info["final_cost"]) and info["final_cost"] <= f0
+
+
+@pytest.mark.slow
 def test_fused_kernel_se2_matches_xla():
     """The fused RTR kernel is dimension-generic: a d=2 engine run with
     use_fused_kernel=True (interpret mode on CPU) matches the XLA path."""

@@ -88,6 +88,7 @@ def test_acceleration_not_worse():
     assert info["final_cost"] < TINY_OPT_COST * 1.05
 
 
+@pytest.mark.slow
 def test_chordal_init_lower_cost_than_odometry():
     ec = _engine("smallGrid3D", 1,
                  local_initialization_method=InitMethod.CHORDAL)
@@ -134,6 +135,7 @@ def test_fused_runner_matches_host_driven():
         assert int(st_fused.iteration) == info["iterations"], rule
 
 
+@pytest.mark.slow
 def test_ate_distributed_vs_centralized():
     """ATE parity oracle (BASELINE target 'match reference trajectories
     within the ATE bound'): the distributed 2-robot solution must align to

@@ -110,6 +110,7 @@ def test_spmd_gnc_weight_round():
     assert np.isfinite(f_final)
 
 
+@pytest.mark.slow
 def test_spmd_more_robots_than_devices_via_grouping():
     """8 robots on a 4-device mesh: robots group into super-blocks."""
     from dpgo_ros_tpu.parallel.spmd import group_robots

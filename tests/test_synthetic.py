@@ -51,6 +51,7 @@ def test_noise_free_world_is_consistent(kind, kw):
     assert priv + shared > 0
 
 
+@pytest.mark.slow
 def test_noise_free_solve_recovers_ground_truth():
     data, T_gt, _ = generate_world(
         "sphere", n=300, num_robots=2, rot_noise=0.0, trans_noise=0.0
@@ -74,6 +75,7 @@ def test_noise_free_solve_recovers_ground_truth():
     assert ate < 1e-6
 
 
+@pytest.mark.slow
 def test_gnc_perfect_precision_recall_on_planted_outliers():
     """With exact labels (which tunnels lacks), GNC at barc 3.0 must
     reject every planted outlier and keep every genuine loop closure."""
