@@ -776,79 +776,27 @@ def make_edge_alg(
     )
 
 
-@functools.lru_cache(maxsize=32)
-def _make_rtr_kernel(
-    n_pad: int,
-    E_loop_pad: int,
-    r: int,
-    d: int,
-    num_robots: int,
-    offsets: Tuple[int, ...],
-    num_poses: Tuple[int, ...],
-    max_iterations: int,
-    max_tcg_iterations: int,
-    gradnorm_tol: float,
-    initial_radius: float,
-    max_radius: float,
-    tcg_kappa: float,
-    tcg_theta: float,
-    interpret: bool,
-    windowed: bool = False,
-    win_w: int = 0,
-    tabled: bool = False,
-    diags2: Tuple[int, ...] = (),
-    has_loops: bool = True,
+def make_rtr_solve(
+    alg, C, r, d, n_pad,
+    max_iterations, max_tcg_iterations, gradnorm_tol,
+    initial_radius, max_radius, tcg_kappa, tcg_theta,
 ):
-    """Compile-cached pallas_call for one full RTR block solve."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    C = r * (d + 1)
-    n_chunks_l = E_loop_pad // CHUNK
-    tail_l = E_loop_pad - n_chunks_l * CHUNK  # 0 or 256 (multiple of 256)
+    """In-kernel RTR block-solve factory shared by the single-solve kernel
+    and the multi-step runner kernel: ``solve(X0, mask)`` runs one full
+    truncated-CG trust-region solve of the masked block subproblem and
+    returns ``(Xf, f0, ff, gn0, gnf, kf)``. ``mask`` is a (1, n_pad) row —
+    a per-call value so the multi-step kernel can switch blocks between
+    steps without recompiling."""
     EPS = 1e-30  # fp32-representable guard (XLA path uses 1e-300 in fp64)
-    windowed = windowed and has_loops and not tabled
+    egrad_and_cost = alg.egrad_and_cost
+    rowsum = alg.rowsum
+    proj = alg.proj
+    precond = alg.precond
+    inner = alg.inner
+    retract = alg.retract
 
-    def kernel(
-        xt_ref, mask_ref, pinv_ref, kwc_ref, twc_ref, kwl_ref, twl_ref,
-        idx2_ref, Rc_ref, tc_ref, Rl_ref, tl_ref,
-        d2R_ref, d2t_ref, kwd_ref, twd_ref,
-        *rest,
-    ):
-        # tabled path: idx2_ref slot carries the precomputed one-hot table
-        oh_ref = idx2_ref if tabled else None
-        if tabled:
-            xout_ref, stats_ref = rest
-            wins_ref = thl_ref = acc_ref = None
-        elif windowed:
-            wins_ref, xout_ref, stats_ref, acc_ref, thl_ref = rest
-        else:
-            xout_ref, stats_ref, acc_ref = rest
-            wins_ref = thl_ref = None
-        mask = mask_ref[:]  # (1, n_pad)
-        Rc = Rc_ref[:]
-        tc = tc_ref[:]
-        kwc = kwc_ref[:]
-        twc = twc_ref[:]
-        Pt = pinv_ref[:]
-
-        alg = make_edge_alg(
-            C, r, d, n_pad, E_loop_pad, n_chunks_l, tail_l,
-            windowed, win_w, tabled, has_loops, diags2,
-            Rc, tc, kwc, twc, Pt,
-            idx2_ref if not tabled else None, oh_ref,
-            Rl_ref, tl_ref, kwl_ref, twl_ref,
-            d2R_ref, d2t_ref, kwd_ref, twd_ref,
-            wins_ref, thl_ref, acc_ref,
-        )
-        egrad_and_cost = alg.egrad_and_cost
-        rowsum = alg.rowsum
-        proj = alg.proj
-        precond = alg.precond
-        inner = alg.inner
-        retract = alg.retract
-
-        # ---- truncated CG ---------------------------------------------------
+    def solve(X0, mask):
+        # ---- truncated CG -----------------------------------------------
         def hess(Xv, Ssym, V):
             """mask ∘ (proj(egrad(V) − VY·sym(YᵀG_Y)))  — rhess_vp."""
             EH, _ = egrad_and_cost(V, with_f=False)
@@ -940,8 +888,7 @@ def _make_rtr_kernel(
             eta, Heta, *_ = jax.lax.while_loop(cond, body, init)
             return eta, Heta, g
 
-        # ---- trust-region outer loop ---------------------------------------
-        X0 = xt_ref[:]
+        # ---- trust-region outer loop ------------------------------------
         G0, f0 = egrad_and_cost(X0)
         g0 = mask * proj(X0, G0)
         gn0 = jnp.sqrt(jnp.maximum(inner(g0, g0), 0.0))
@@ -986,7 +933,86 @@ def _make_rtr_kernel(
             jnp.asarray(initial_radius, jnp.float32),
             jnp.zeros((), jnp.int32), gn0, gn0 <= gradnorm_tol,
         )
-        Xf, Gf, ff, _, kf, gnf, _ = jax.lax.while_loop(tr_cond, tr_body, init)
+        Xf, Gf, ff, _, kf, gnf, _ = jax.lax.while_loop(
+            tr_cond, tr_body, init
+        )
+        return Xf, f0, ff, gn0, gnf, kf
+
+    return solve
+
+
+@functools.lru_cache(maxsize=32)
+def _make_rtr_kernel(
+    n_pad: int,
+    E_loop_pad: int,
+    r: int,
+    d: int,
+    num_robots: int,
+    offsets: Tuple[int, ...],
+    num_poses: Tuple[int, ...],
+    max_iterations: int,
+    max_tcg_iterations: int,
+    gradnorm_tol: float,
+    initial_radius: float,
+    max_radius: float,
+    tcg_kappa: float,
+    tcg_theta: float,
+    interpret: bool,
+    windowed: bool = False,
+    win_w: int = 0,
+    tabled: bool = False,
+    diags2: Tuple[int, ...] = (),
+    has_loops: bool = True,
+):
+    """Compile-cached pallas_call for one full RTR block solve."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    C = r * (d + 1)
+    n_chunks_l = E_loop_pad // CHUNK
+    tail_l = E_loop_pad - n_chunks_l * CHUNK  # 0 or 256 (multiple of 256)
+    EPS = 1e-30  # fp32-representable guard (XLA path uses 1e-300 in fp64)
+    windowed = windowed and has_loops and not tabled
+
+    def kernel(
+        xt_ref, mask_ref, pinv_ref, kwc_ref, twc_ref, kwl_ref, twl_ref,
+        idx2_ref, Rc_ref, tc_ref, Rl_ref, tl_ref,
+        d2R_ref, d2t_ref, kwd_ref, twd_ref,
+        *rest,
+    ):
+        # tabled path: idx2_ref slot carries the precomputed one-hot table
+        oh_ref = idx2_ref if tabled else None
+        if tabled:
+            xout_ref, stats_ref = rest
+            wins_ref = thl_ref = acc_ref = None
+        elif windowed:
+            wins_ref, xout_ref, stats_ref, acc_ref, thl_ref = rest
+        else:
+            xout_ref, stats_ref, acc_ref = rest
+            wins_ref = thl_ref = None
+        mask = mask_ref[:]  # (1, n_pad)
+        Rc = Rc_ref[:]
+        tc = tc_ref[:]
+        kwc = kwc_ref[:]
+        twc = twc_ref[:]
+        Pt = pinv_ref[:]
+
+        alg = make_edge_alg(
+            C, r, d, n_pad, E_loop_pad, n_chunks_l, tail_l,
+            windowed, win_w, tabled, has_loops, diags2,
+            Rc, tc, kwc, twc, Pt,
+            idx2_ref if not tabled else None, oh_ref,
+            Rl_ref, tl_ref, kwl_ref, twl_ref,
+            d2R_ref, d2t_ref, kwd_ref, twd_ref,
+            wins_ref, thl_ref, acc_ref,
+        )
+        solve = make_rtr_solve(
+            alg, C, r, d, n_pad,
+            max_iterations, max_tcg_iterations, gradnorm_tol,
+            initial_radius, max_radius, tcg_kappa, tcg_theta,
+        )
+        X0 = xt_ref[:]
+        Xf, f0, ff, gn0, gnf, kf = solve(X0, mask)
         xout_ref[:] = Xf
 
         # ---- stats row (scalar VMEM stores are illegal: build via selects) --
@@ -1104,6 +1130,347 @@ def rtr_solve_fused(
     args = [
         Xt, mask_row, pinv_t, kwc, twc, kwl, twl, first, Rc, tc, Rl, tl,
         d2R, d2t, kwd, twd,
+    ]
+    if kg.loop_win_off is not None and has_loops and not tabled:
+        if wins is None:
+            wins = wins_row(kg)
+        args.append(wins)
+    return fk(*args)
+
+
+# --------------------------------------------------------------------------
+# multi-step runner kernel (round 4)
+# --------------------------------------------------------------------------
+
+_REL_W = 128  # rel-change row width (lane-padded; lanes >= R inert)
+
+
+@functools.lru_cache(maxsize=32)
+def _make_rtr_multistep_kernel(
+    n_pad: int,
+    E_loop_pad: int,
+    r: int,
+    d: int,
+    num_robots: int,
+    offsets: Tuple[int, ...],
+    num_poses: Tuple[int, ...],
+    max_iterations: int,
+    max_tcg_iterations: int,
+    gradnorm_tol: float,
+    initial_radius: float,
+    max_radius: float,
+    tcg_kappa: float,
+    tcg_theta: float,
+    interpret: bool,
+    windowed: bool,
+    win_w: int,
+    tabled: bool,
+    diags2: Tuple[int, ...],
+    has_loops: bool,
+    # runner statics
+    it_cap: int,  # max_iters — also the schedule length
+    m_pad: int,  # sublane-padded mask-row count
+    tol: float,  # relative-change termination tolerance
+    gnc: bool,  # any robust cost (weight rounds pending possible)
+    inner: int,  # weight-round cadence (inner iters × robots)
+    use_inner_tol: bool,
+    inner_tol: float,
+    record: bool,
+):
+    """One Pallas kernel running MANY solver steps (round-4 top perf item).
+
+    The round-3 fused runner paid ~480 µs per step for ~60 µs of kernel
+    device time: each `lax.while_loop` iteration re-launched the Mosaic
+    kernel (67.5 µs fixed intercept) plus several XLA glue fusions
+    (mask-row select, stats slices, rel-change update), each with its own
+    launch floor. Here the step loop itself lives IN the kernel: the update
+    schedule rides in SMEM, the mask row is selected by a one-hot
+    sublane-reduce, the per-robot relative-change/termination bookkeeping is
+    VPU row algebra, and the kernel only exits when the run terminates, the
+    iteration cap is hit, or a GNC weight round must fire on the host side
+    of the launch boundary (weight rounds need the rounded-trajectory
+    residuals — a per-problem XLA program — and happen ≤ a handful of times
+    per solve). Launch + layout glue are paid once per GNC stretch instead
+    of once per block update.
+
+    Replaces the hot loop of reference ``src/PGOAgentROS.cpp:160``
+    (``iterate(true)`` under the UPDATE token protocol) at the whole-run
+    granularity.
+
+    Exit conditions (evaluated after each step at it2 = it+1, matching the
+    top-of-body evaluation of the per-step runner):
+      * terminated: all real rel-change lanes < tol and no pending GNC
+        weight rounds (``gnc_pending`` SMEM scalar = 0)
+      * it2 == it_cap
+      * GNC fire: pending and (use_inner_tol ? all(rel) < inner_tol or
+        it2 − last_wu ≥ inner : it2 % inner == 0)
+
+    With ``record=True`` the kernel also emits the (it_cap, _REL_W)
+    per-iteration rel-change history (rows written at the absolute
+    iteration index; untouched rows stay NaN) — the reference's
+    per-iteration CSV telemetry fields (``src/PGOAgentROS.cpp:853-907``).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    C = r * (d + 1)
+    windowed = windowed and has_loops and not tabled
+    R = num_robots
+
+    def kernel(
+        xt_ref, mrows_ref, pinv_ref, kwc_ref, twc_ref, kwl_ref, twl_ref,
+        idx2_ref, Rc_ref, tc_ref, Rl_ref, tl_ref,
+        d2R_ref, d2t_ref, kwd_ref, twd_ref,
+        adj_ref, rel0_ref, sched_ref, scal_ref, cost0_ref,
+        *rest,
+    ):
+        oh_ref = idx2_ref if tabled else None
+        rest = list(rest)
+        wins_ref = rest.pop(0) if windowed else None
+        xout_ref = rest.pop(0)
+        relout_ref = rest.pop(0)
+        stats_ref = rest.pop(0)
+        relh_ref = rest.pop(0) if record else None
+        acc_ref = rest.pop(0) if not tabled else None
+        thl_ref = rest.pop(0) if windowed else None
+
+        Rc = Rc_ref[:]
+        tc = tc_ref[:]
+        kwc = kwc_ref[:]
+        twc = twc_ref[:]
+        Pt = pinv_ref[:]
+        mrows = mrows_ref[:]  # (m_pad, n_pad)
+        adj = adj_ref[:]  # (_REL_W, _REL_W) fp32 robot adjacency
+
+        n_chunks_l = E_loop_pad // CHUNK
+        tail_l = E_loop_pad - n_chunks_l * CHUNK
+        alg = make_edge_alg(
+            C, r, d, n_pad, E_loop_pad, n_chunks_l, tail_l,
+            windowed, win_w, tabled, has_loops, diags2,
+            Rc, tc, kwc, twc, Pt,
+            idx2_ref if not tabled else None, oh_ref,
+            Rl_ref, tl_ref, kwl_ref, twl_ref,
+            d2R_ref, d2t_ref, kwd_ref, twd_ref,
+            wins_ref, thl_ref, acc_ref,
+        )
+        solve = make_rtr_solve(
+            alg, C, r, d, n_pad,
+            max_iterations, max_tcg_iterations, gradnorm_tol,
+            initial_radius, max_radius, tcg_kappa, tcg_theta,
+        )
+        rowsum = alg.rowsum
+
+        it0 = scal_ref[0, 0]
+        last_wu = scal_ref[0, 1]
+        gnc_pending = scal_ref[0, 2]
+        cost0 = cost0_ref[0, 0]
+
+        iota_m = jax.lax.broadcasted_iota(jnp.int32, (m_pad, n_pad), 0)
+        iota_l = jax.lax.broadcasted_iota(jnp.int32, (1, _REL_W), 1)
+        relmask = iota_l < R
+        neg1 = jnp.full((1, _REL_W), -1.0, jnp.float32)
+
+        def step_cond(s):
+            Xt, it, cost, rel, relh, stop = s
+            return jnp.logical_and(jnp.logical_not(stop), it < it_cap)
+
+        def step_body(s):
+            Xt, it, cost, rel, relh, stop = s
+            m_idx = sched_ref[0, it]
+            mask = rowsum(
+                mrows * (iota_m == m_idx).astype(jnp.float32)
+            )  # (1, n_pad)
+            Xf, f0, ff, gn0, gnf, kf = solve(Xt, mask)
+            # restore unmasked lanes exactly (NS retraction renormalizes
+            # all lanes; drift outside the block must not accumulate)
+            Xt2 = Xt + (Xf - Xt) * mask
+            Dm = (Xf - Xt) * mask
+            moved_row = jnp.zeros((1, _REL_W), jnp.float32)
+            upd_row = jnp.zeros((1, _REL_W), jnp.float32)
+            for rb in range(R):
+                o, nk = offsets[rb], num_poses[rb]
+                blk = Dm[:, o:o + nk]
+                mv = jnp.sqrt(jnp.sum(blk * blk))
+                up = jnp.max(mask[:, o:o + nk])
+                moved_row = jnp.where(iota_l == rb, mv, moved_row)
+                upd_row = jnp.where(iota_l == rb, up, upd_row)
+            # neighbor invalidation (see RBCDEngine._finish_step): a robot's
+            # recorded rel-change is bumped when an adjacent robot moves
+            bump = jax.lax.dot_general(
+                moved_row * upd_row, adj, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            rel2 = jnp.where(
+                upd_row > 0, moved_row, jnp.maximum(rel, bump)
+            )
+            if record:
+                relh = _dyn_row_store(relh, it, rel2)
+            maxrel = jnp.max(jnp.where(relmask, rel2, neg1))
+            ready = maxrel < tol
+            it2 = it + 1
+            if gnc:
+                term = jnp.logical_and(ready, gnc_pending == 0)
+                if use_inner_tol:
+                    fire = jnp.logical_or(
+                        maxrel < inner_tol, (it2 - last_wu) >= inner
+                    )
+                else:
+                    fire = jnp.mod(it2, inner) == 0
+                stop2 = jnp.logical_or(
+                    term, jnp.logical_and(fire, gnc_pending != 0)
+                )
+            else:
+                stop2 = ready
+            return Xt2, it2, ff, rel2, relh, stop2
+
+        if record:
+            relh0 = jnp.full(
+                (_rup(it_cap, 8), _REL_W), jnp.nan, jnp.float32
+            )
+        else:
+            relh0 = jnp.zeros((1, 1), jnp.float32)
+        Xt_f, it_f, cost_f, rel_f, relh_f, _ = jax.lax.while_loop(
+            step_cond, step_body,
+            (xt_ref[:], it0, cost0, rel0_ref[:], relh0,
+             jnp.asarray(False)),
+        )
+        xout_ref[:] = Xt_f
+        relout_ref[:] = rel_f
+        if record:
+            relh_ref[:] = relh_f
+        vals = {
+            0: cost_f,
+            1: it_f.astype(jnp.float32),
+            2: (it_f - it0).astype(jnp.float32),
+        }
+        stats = jnp.zeros((1, _STATS_W), jnp.float32)
+        iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, _STATS_W), 1)
+        for pos, v in vals.items():
+            stats = jnp.where(iota_s == pos, v, stats)
+        stats_ref[:] = stats
+
+    def _dyn_row_store(H, it, row):
+        """H (it_cap_pad, _REL_W) with row ``it`` replaced by ``row`` —
+        expressed as a select against a broadcast (dynamic sublane stores
+        are fragile in Mosaic; it_cap rows × 128 lanes is small)."""
+        iota_r = jax.lax.broadcasted_iota(
+            jnp.int32, (H.shape[0], _REL_W), 0
+        )
+        return jnp.where(iota_r == it, row, H)
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 16
+    in_specs += [
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # adj
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # rel0
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # sched
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # scal (i32)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # cost0 (f32)
+    ]
+    scratch = []
+    if tabled:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 2**20,
+        )
+    else:
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=(
+                112 * 2**20 if n_pad > 16384 else 64 * 2**20
+            ),
+        )
+        if windowed:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    out_shape = [
+        jax.ShapeDtypeStruct((C, n_pad), jnp.float32),
+        jax.ShapeDtypeStruct((1, _REL_W), jnp.float32),
+        jax.ShapeDtypeStruct((1, _STATS_W), jnp.float32),
+    ]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+    if record:
+        out_shape.append(
+            jax.ShapeDtypeStruct((_rup(it_cap, 8), _REL_W), jnp.float32)
+        )
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    if not tabled:
+        scratch.append(pltpu.VMEM((2 * C, n_pad), jnp.float32))
+        if windowed:
+            scratch.append(pltpu.VMEM((2 * C, n_pad), jnp.bfloat16))
+    return pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shape),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )
+
+
+def rtr_run_fused(
+    Xt: jnp.ndarray,
+    mrows_pad: jnp.ndarray,
+    pinv_t: jnp.ndarray,
+    wrows,
+    kg: KernelGraph,
+    params,
+    *,
+    adj_pad: jnp.ndarray,
+    rel0: jnp.ndarray,
+    sched: jnp.ndarray,
+    scal: jnp.ndarray,
+    cost0: jnp.ndarray,
+    it_cap: int,
+    tol: float,
+    gnc: bool,
+    inner: int,
+    inner_tol: Optional[float],
+    record: bool = False,
+    interpret: bool = False,
+    consts=None,
+    wins: Optional[jnp.ndarray] = None,
+    oh: Optional[jnp.ndarray] = None,
+):
+    """Run up to ``it_cap − it0`` solver steps inside ONE kernel launch.
+
+    Args beyond :func:`rtr_solve_fused`: ``mrows_pad`` (m_pad, n_pad) mask
+    rows indexed by the SMEM ``sched`` (1, it_cap) i32 schedule; ``adj_pad``
+    (_REL_W, _REL_W) fp32 robot adjacency; ``rel0`` (1, _REL_W) incoming
+    rel-change row (lanes ≥ R must be ≤ 0); ``scal`` (1, 8) i32
+    [it0, last_wu, gnc_pending]; ``cost0`` (1, 1) f32.
+
+    Returns (Xt_new, rel_row, stats[, rel_hist]) — stats: [0]=cost,
+    [1]=iteration, [2]=steps taken this launch.
+    """
+    tabled = oh is not None
+    has_loops = kg.E_loop > 0
+    fk = _make_rtr_multistep_kernel(
+        kg.n_pad, kg.E_loop_pad, kg.r, kg.d, kg.num_robots,
+        kg.offsets, kg.num_poses,
+        int(params.max_iterations), int(params.max_tcg_iterations),
+        float(params.gradnorm_tol), float(params.initial_radius),
+        float(params.max_radius), float(params.tcg_kappa),
+        float(params.tcg_theta),
+        interpret,
+        kg.loop_win_off is not None,
+        int(kg.loop_win_w),
+        tabled,
+        tuple(kg.diags2),
+        has_loops,
+        int(it_cap),
+        int(mrows_pad.shape[0]),
+        float(tol),
+        bool(gnc),
+        int(inner),
+        inner_tol is not None,
+        float(inner_tol if inner_tol is not None else 0.0),
+        bool(record),
+    )
+    cs = consts if consts is not None else kg.constants()
+    idx2, Rc, tc, Rl, tl, d2R, d2t = cs
+    kwc, twc, kwl, twl, kwd, twd = wrows
+    first = oh if tabled else idx2
+    args = [
+        Xt, mrows_pad, pinv_t, kwc, twc, kwl, twl, first, Rc, tc, Rl, tl,
+        d2R, d2t, kwd, twd, adj_pad, rel0, sched, scal, cost0,
     ]
     if kg.loop_win_off is not None and has_loops and not tabled:
         if wins is None:

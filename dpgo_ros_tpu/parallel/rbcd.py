@@ -1009,6 +1009,265 @@ class RBCDEngine:
 
         return run
 
+    def _make_fused_run_multi(self, max_iters: int, record: bool = False):
+        """Multi-step-kernel runner (round 4): the ENTIRE stretch of solver
+        steps between GNC weight rounds — or the whole run for non-robust
+        costs — executes inside ONE Pallas kernel launch
+        (ops/fused_rtr.rtr_run_fused).
+
+        Rationale: the round-3 transposed runner still paid ~480 µs per
+        step against ~60 µs of kernel device time — the per-launch
+        intercept (67.5 µs) plus the XLA glue fusions around each launch
+        (mask select, stats slices, rel-change update) dominated
+        (ROOFLINE.json sphere2500; round-3 verdict item 1). Moving the step
+        loop in-kernel pays those once per GNC stretch. The outer
+        `lax.while_loop` survives only to run weight rounds (they need the
+        rounded-trajectory residuals — XLA ops on the natural layout) and
+        re-launch; an L2 solve is exactly one kernel execution.
+
+        The update schedule (Uniform/RoundRobin/Parallel, reference
+        ``publishUpdateCommand`` ``src/PGOAgentROS.cpp:443-504``) is
+        precomputed per absolute iteration and rides in SMEM; Uniform draws
+        from the same counter-based fold_in PRNG as the host driver, so all
+        runner paths take identical schedules.
+        """
+        cfg = self.config
+        prob = self.problem
+        kg = self._kg
+        gnc = cfg.robust_cost_type != RobustCostType.L2
+        inner = cfg.robust_opt_inner_iters_per_robot * prob.num_robots
+        tol = cfg.relative_change_tolerance
+        R = prob.num_robots
+        RELW = fused_rtr._REL_W
+
+        # schedule per absolute iteration + the mask-row bank it indexes
+        if cfg.update_rule == UpdateRule.PARALLEL:
+            sched_np = np.arange(max_iters, dtype=np.int64) % self.num_colors
+            bank = np.asarray(self._color_masks)
+        elif cfg.update_rule == UpdateRule.ROUND_ROBIN:
+            sched_np = np.arange(max_iters, dtype=np.int64) % R
+            bank = np.asarray(self._masks)
+        else:  # Uniform: same counter-based PRNG as the host driver
+            key0 = jax.random.PRNGKey(cfg.seed)
+            sched_np = np.asarray(
+                jax.vmap(
+                    lambda i: jax.random.randint(
+                        jax.random.fold_in(key0, i), (), 0, R
+                    )
+                )(jnp.arange(max_iters))
+            )
+            bank = np.asarray(self._masks)
+        sched = jnp.asarray(sched_np.astype(np.int32)[None, :])
+        m_pad = fused_rtr._rup(bank.shape[0], 8)
+        mrows_np = np.zeros((m_pad, kg.n_pad), np.float32)
+        for i in range(bank.shape[0]):
+            mrows_np[i] = np.asarray(
+                fused_rtr.mask_to_row(jnp.asarray(bank[i]), kg.n_pad),
+                np.float32,
+            )[0]
+        mrows_pad = jnp.asarray(mrows_np)
+        adj_np = np.zeros((RELW, RELW), np.float32)
+        adj_np[:R, :R] = self._adj_np.astype(np.float32)
+        adj_pad = jnp.asarray(adj_np)
+
+        consts = kg.constants()
+        wins = (
+            jnp.asarray(fused_rtr.wins_row(kg))
+            if kg.loop_win_off is not None
+            else None
+        )
+        cel, les, dle = kg.weight_rows_arrays()
+        e0 = self.problem.edges
+
+        def cache_from_weights(weights):
+            e = self._edges(weights)
+            pt = fused_rtr.pinv_to_t(self._precond_inv(e), kg.n_pad)
+            wrows = fused_rtr.weight_rows_gather(
+                e0.kappa, e0.tau, e0.mask, weights, cel, les, dle,
+                kg.n_pad,
+            )
+            return pt, wrows
+
+        iota_l = jnp.arange(RELW)[None, :]
+
+        def launch(Xt, it, cost, rel_row, cache, last_wu, pending):
+            pt, wrows = cache
+            scal = jnp.concatenate(
+                [
+                    it[None], last_wu[None],
+                    pending.astype(jnp.int32)[None],
+                    jnp.zeros((5,), jnp.int32),
+                ]
+            )[None, :]
+            out = fused_rtr.rtr_run_fused(
+                Xt, mrows_pad, pt, wrows, kg, self.rtr_params,
+                adj_pad=adj_pad,
+                rel0=rel_row,
+                sched=sched,
+                scal=scal,
+                cost0=cost.astype(jnp.float32)[None, None],
+                it_cap=max_iters,
+                tol=float(tol),
+                gnc=gnc,
+                inner=inner,
+                inner_tol=cfg.robust_opt_inner_tol,
+                record=record,
+                interpret=self._interpret_fused,
+                consts=consts, wins=wins, oh=self._kg_oh,
+            )
+            if record:
+                Xt2, rel2, stats, relh = out
+            else:
+                (Xt2, rel2, stats), relh = out, None
+            it2 = stats[0, 1].astype(jnp.int32)
+            cost2 = stats[0, 0].astype(self.dtype)
+            return Xt2, it2, cost2, rel2, relh
+
+        def do_round(carry):
+            (Xt, it, cost, rel_row, weights, fixed, mu, wuc, last_wu,
+             cache, rel_h, ev_h, Xt_init) = carry
+            wu_fired = jnp.asarray(False)
+            if gnc:
+                def wu(args):
+                    Xt_in, w_in, fx_in, mu_in, wuc_in, _ = args
+                    X = fused_rtr.from_t(Xt_in, prob.n, prob.r, prob.d + 1)
+                    rel_vec = rel_row[0, :R].astype(self.dtype)
+                    s = RBCDState(
+                        X=X, X_prev=X, V=X,
+                        theta=jnp.asarray(1.0, self.dtype),
+                        iteration=it, cost=cost, rel_change=rel_vec,
+                        weights=w_in, fixed_mask=fx_in, mu=mu_in,
+                        weight_update_count=wuc_in,
+                    )
+                    s2 = self._weight_update_impl(s)
+                    Xt_out = Xt_in
+                    cost2 = s2.cost
+                    if cfg.robust_opt_num_resets > 0:
+                        do_reset = (
+                            s2.weight_update_count
+                            <= cfg.robust_opt_num_resets
+                        )
+                        Xt_out = jnp.where(do_reset, Xt_init, Xt_in)
+                        cost2 = jnp.where(
+                            do_reset,
+                            quadratic.cost(
+                                fused_rtr.from_t(
+                                    Xt_out, prob.n, prob.r, prob.d + 1
+                                ),
+                                self._edges(s2.weights),
+                            ),
+                            cost2,
+                        )
+                    return (
+                        Xt_out, s2.weights, s2.fixed_mask, s2.mu,
+                        s2.weight_update_count,
+                        cache_from_weights(s2.weights),
+                    ), cost2
+
+                rel_vecm = jnp.where(iota_l < R, rel_row, jnp.inf)
+                if cfg.robust_opt_inner_tol is not None:
+                    fire = jnp.all(
+                        rel_vecm < cfg.robust_opt_inner_tol
+                    ) | ((it - last_wu) >= inner)
+                else:
+                    fire = jnp.mod(it, inner) == 0
+                wu_fired = (
+                    (it > 0)
+                    & fire
+                    & (wuc < cfg.robust_opt_num_weight_updates)
+                )
+                last_wu = jnp.where(wu_fired, it, last_wu)
+
+                def wu_wrap(args):
+                    new, c2 = wu(args)
+                    return new + (c2,)
+
+                (Xt, weights, fixed, mu, wuc, cache, cost) = jax.lax.cond(
+                    wu_fired,
+                    wu_wrap,
+                    lambda a: a + (cost,),
+                    (Xt, weights, fixed, mu, wuc, cache),
+                )
+                rel_row = jnp.where(
+                    wu_fired, jnp.full_like(rel_row, jnp.inf), rel_row
+                )
+            pending = (
+                wuc < cfg.robust_opt_num_weight_updates
+                if gnc
+                else jnp.asarray(False)
+            )
+            it_wu = it  # weight rounds don't advance the iteration counter
+            Xt, it, cost, rel_row, relh = launch(
+                Xt, it, cost, rel_row, cache,
+                last_wu, jnp.asarray(pending),
+            )
+            if record:
+                # merge this launch's history rows (untouched rows = NaN)
+                rel_h = jnp.where(jnp.isnan(relh), rel_h, relh)
+                if gnc:
+                    ev_h = jnp.where(
+                        (jnp.arange(max_iters) == it_wu) & wu_fired,
+                        jnp.int8(1),
+                        ev_h,
+                    )
+            return (
+                Xt, it, cost, rel_row, weights, fixed, mu, wuc, last_wu,
+                cache, rel_h, ev_h, Xt_init,
+            )
+
+        def cond_fn(carry):
+            _, it, _, rel_row, _, _, _, wuc, *_ = carry
+            rel_vecm = jnp.where(iota_l < R, rel_row, -1.0)
+            ready = jnp.all(rel_vecm < tol)
+            if gnc:
+                ready = ready & (wuc >= cfg.robust_opt_num_weight_updates)
+            return (it < max_iters) & ~ready
+
+        @jax.jit
+        def run(st: RBCDState):
+            Xt0 = fused_rtr.to_t(st.X, kg.n_pad)
+            cache = cache_from_weights(st.weights)
+            rel_row0 = jnp.concatenate(
+                [
+                    st.rel_change.astype(jnp.float32),
+                    jnp.full((RELW - R,), -1.0, jnp.float32),
+                ]
+            )[None, :]
+            if record:
+                rel_h = jnp.full(
+                    (fused_rtr._rup(max_iters, 8), RELW), jnp.nan,
+                    jnp.float32,
+                )
+                ev_h = jnp.zeros((max_iters,), jnp.int8)
+            else:
+                rel_h = ev_h = jnp.zeros((), jnp.int8)
+            carry = (
+                Xt0, st.iteration, st.cost, rel_row0, st.weights,
+                st.fixed_mask, st.mu, st.weight_update_count,
+                st.iteration, cache, rel_h, ev_h, Xt0,
+            )
+            (
+                Xt, it, cost, rel_row, weights, fixed, mu, wuc, _, _,
+                rel_h, ev_h, _,
+            ) = jax.lax.while_loop(cond_fn, do_round, carry)
+            X = fused_rtr.from_t(Xt, prob.n, prob.r, prob.d + 1)
+            out = RBCDState(
+                X=X, X_prev=X, V=X, theta=st.theta, iteration=it,
+                cost=cost.astype(self.dtype),
+                rel_change=rel_row[0, :R].astype(self.dtype),
+                weights=weights,
+                fixed_mask=fixed, mu=mu, weight_update_count=wuc,
+            )
+            if record:
+                return (
+                    out,
+                    rel_h[:max_iters, :R].astype(self.dtype),
+                    ev_h,
+                )
+            return out
+
+        return run
+
     def make_fused_run(self, max_iters: int, record: bool = False):
         """Return a jitted runner executing the FULL solve as one XLA program
         (`lax.while_loop` over block updates with on-device termination and
@@ -1030,8 +1289,16 @@ class RBCDEngine:
         NaN/0).
         """
         if self._use_fused and not self.config.acceleration:
-            # round-3 fast path: state stays in the kernel's transposed
-            # layout for the whole run (see _make_fused_run_t)
+            import os
+
+            if os.environ.get("DPGO_FUSED_MULTISTEP", "1") not in (
+                "0", "false", "False",
+            ):
+                # round-4 fast path: the step loop lives IN the kernel —
+                # one launch per GNC stretch (see _make_fused_run_multi)
+                return self._make_fused_run_multi(max_iters, record)
+            # round-3 path: one kernel launch per step, state kept in the
+            # kernel's transposed layout (see _make_fused_run_t)
             return self._make_fused_run_t(max_iters, record)
         cfg = self.config
         prob = self.problem
