@@ -58,8 +58,11 @@ def log(msg):
 
 
 def _measure(rule, num_iters):
-    import numpy as np
-
+    """Timed fused run. Returns DEVICE scalars for everything read later:
+    on this tunneled runtime the first device-to-host transfer permanently
+    degrades every subsequent device sync in the process from ~0.1 ms to
+    ~26 ms (measured round 4, docs/PERFORMANCE.md), so all d2h reads are
+    deferred to after the LAST timed region."""
     data = load_g2o_dataset("sphere2500", num_robots=5)
     prob = LiftedProblem.from_data(data, r=5, dtype=jnp.float32)
     cfg = AgentConfig(
@@ -77,7 +80,6 @@ def _measure(rule, num_iters):
     )
     eng = RBCDEngine(prob, cfg)
     st = eng.initialize()
-    f_init = float(st.cost)
     run = eng.make_fused_run(num_iters)
     warm = run(st)
     warm.cost.block_until_ready()
@@ -85,6 +87,14 @@ def _measure(rule, num_iters):
     out = run(st)
     out.cost.block_until_ready()
     dt = time.time() - t0
+    return eng, st, out, dt
+
+
+def _finish(eng, st, out, dt, rule):
+    """Host-side reads — only called after every timed region is done."""
+    import numpy as np
+
+    f_init = float(st.cost)
     steps = int(out.iteration)
     if rule == UpdateRule.PARALLEL:
         sizes = np.bincount(eng.robot_colors, minlength=eng.num_colors)
@@ -99,14 +109,16 @@ def _measure(rule, num_iters):
 def main():
     log(f"backend={platform} devices={jax.devices()}")
     # reference-parity sequential mode (stderr diagnostic)
-    upd_s, steps_s, dt_s, fi_s, ff_s = _measure(UpdateRule.ROUND_ROBIN, NUM_ITERS)
+    res_s = _measure(UpdateRule.ROUND_ROBIN, NUM_ITERS)
+    # headline: colored-parallel (TPU-native mode)
+    res_p = _measure(UpdateRule.PARALLEL, NUM_ITERS)
+    upd_s, steps_s, dt_s, fi_s, ff_s = _finish(*res_s, UpdateRule.ROUND_ROBIN)
     log(
         f"RoundRobin: {upd_s} updates in {dt_s:.3f}s "
         f"({upd_s/dt_s:.1f}/s) cost {fi_s:.1f} -> {ff_s:.1f}"
     )
-    # headline: colored-parallel (TPU-native mode)
-    updates, steps, dt, f_init, f_final = _measure(
-        UpdateRule.PARALLEL, NUM_ITERS
+    updates, steps, dt, f_init, f_final = _finish(
+        *res_p, UpdateRule.PARALLEL
     )
     iters_per_sec = updates / dt
     print(

@@ -35,8 +35,21 @@ class LiftedProblem:
     num_robots: int
     offsets: np.ndarray  # (num_robots,) int64 — start of each block
     num_poses: np.ndarray  # (num_robots,) int64
-    robot_of_pose: jnp.ndarray  # (n,) int32
+    robot_of_pose: np.ndarray  # (n,) int32 — HOST (static structure)
     data: Optional[PoseGraphData] = None
+    # host (numpy) mirror of the static edge structure. Host-side prep
+    # (kernel-graph layout, robot coloring, telemetry manifests) must read
+    # THIS, never ``edges``: on the tunneled-TPU runtime a single
+    # device-to-host transfer permanently degrades every subsequent device
+    # sync in the process from ~0.1 ms to ~26 ms (measured round 4,
+    # docs/PERFORMANCE.md) — the whole prep path stays d2h-free.
+    edges_np: Optional[EdgeSet] = None
+
+    @property
+    def host_edges(self) -> EdgeSet:
+        """Numpy edge mirror for host-side prep (falls back to the device
+        arrays — with a d2h cost — for hand-built problems)."""
+        return self.edges_np if self.edges_np is not None else self.edges
 
     @staticmethod
     def from_data(
@@ -64,18 +77,31 @@ class LiftedProblem:
         from dpgo_ros_tpu.ops.quadratic import build_pull_index
 
         pull = build_pull_index(src, dst, data.total_poses, num_edge_rows=Epad)
+        np_dt = np.float64 if dtype == jnp.float64 else np.float32
+        edges_np = EdgeSet(
+            src=pad1(src.astype(np.int32)),
+            dst=pad1(dst.astype(np.int32)),
+            R=pad1(m.R).astype(np_dt),
+            t=pad1(m.t).astype(np_dt),
+            kappa=pad1(m.kappa).astype(np_dt),
+            tau=pad1(m.tau).astype(np_dt),
+            weight=pad1(m.weight).astype(np_dt),
+            mask=np.concatenate(
+                [np.ones(E), np.zeros(Epad - E)]
+            ).astype(np_dt),
+            is_loop=pad1(is_loop.astype(np.float64)).astype(np_dt),
+            pull=pull,
+        )
         edges = EdgeSet(
-            src=jnp.asarray(pad1(src.astype(np.int32))),
-            dst=jnp.asarray(pad1(dst.astype(np.int32))),
-            R=jnp.asarray(pad1(m.R), dtype),
-            t=jnp.asarray(pad1(m.t), dtype),
-            kappa=jnp.asarray(pad1(m.kappa), dtype),
-            tau=jnp.asarray(pad1(m.tau), dtype),
-            weight=jnp.asarray(pad1(m.weight), dtype),
-            mask=jnp.asarray(
-                np.concatenate([np.ones(E), np.zeros(Epad - E)]), dtype
-            ),
-            is_loop=jnp.asarray(pad1(is_loop.astype(np.float64)), dtype),
+            src=jnp.asarray(edges_np.src),
+            dst=jnp.asarray(edges_np.dst),
+            R=jnp.asarray(edges_np.R, dtype),
+            t=jnp.asarray(edges_np.t, dtype),
+            kappa=jnp.asarray(edges_np.kappa, dtype),
+            tau=jnp.asarray(edges_np.tau, dtype),
+            weight=jnp.asarray(edges_np.weight, dtype),
+            mask=jnp.asarray(edges_np.mask, dtype),
+            is_loop=jnp.asarray(edges_np.is_loop, dtype),
             pull=jnp.asarray(pull),
         )
         robot_of_pose = np.repeat(
@@ -89,8 +115,9 @@ class LiftedProblem:
             num_robots=data.num_robots,
             offsets=offsets,
             num_poses=np.asarray(data.num_poses, np.int64),
-            robot_of_pose=jnp.asarray(robot_of_pose),
+            robot_of_pose=robot_of_pose,
             data=data,
+            edges_np=edges_np,
         )
 
     # --- bookkeeping parity with DPGO::PoseGraph (SURVEY.md §2.3) ---
@@ -105,7 +132,9 @@ class LiftedProblem:
     def block_mask(self, robot_id: int, dtype=jnp.float64) -> jnp.ndarray:
         """(n, 1, 1) mask selecting robot_id's pose block — the RBCD
         'only my block moves' projector."""
-        m = (self.robot_of_pose == robot_id).astype(dtype)
+        m = jnp.asarray(
+            (np.asarray(self.robot_of_pose) == robot_id), dtype
+        )
         return m[:, None, None]
 
     def pose_block(self, X: jnp.ndarray, robot_id: int) -> jnp.ndarray:
@@ -124,8 +153,9 @@ class LiftedProblem:
         """(n,) mask of poses touched by inter-robot edges — the 'public
         poses' the reference exchanges between robots (``msg/PublicPoses.msg``,
         SURVEY.md §2.2). Used for communication-volume telemetry."""
-        src_r = self.robot_of_pose[self.edges.src]
-        dst_r = self.robot_of_pose[self.edges.dst]
+        rop = jnp.asarray(self.robot_of_pose)
+        src_r = rop[self.edges.src]
+        dst_r = rop[self.edges.dst]
         shared = (src_r != dst_r) & (self.edges.mask > 0)
         m = jnp.zeros((self.n,), dtype)
         m = m.at[self.edges.src].max(shared.astype(dtype))

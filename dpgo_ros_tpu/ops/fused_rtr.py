@@ -123,6 +123,15 @@ def mask_to_row(mask: jnp.ndarray, n_pad: int) -> jnp.ndarray:
     return jnp.pad(m, (0, n_pad - m.shape[0]))[None, :]
 
 
+def mask_to_row_np(mask_np: np.ndarray, n_pad: int) -> np.ndarray:
+    """Host-side :func:`mask_to_row` — runner prep must not touch the
+    device (see LiftedProblem.edges_np on the d2h sync hazard)."""
+    m = np.asarray(mask_np)[:, 0, 0].astype(np.float32)
+    out = np.zeros((1, n_pad), np.float32)
+    out[0, : m.shape[0]] = m
+    return out
+
+
 # --------------------------------------------------------------------------
 # static kernel-side edge layout
 # --------------------------------------------------------------------------
@@ -452,9 +461,13 @@ class KernelGraph:
 
 
 def build_kernel_graph(problem, r: Optional[int] = None) -> KernelGraph:
-    """KernelGraph from a LiftedProblem (engine path: src-windowed chunks)."""
+    """KernelGraph from a LiftedProblem (engine path: src-windowed chunks).
+
+    Reads the problem's HOST edge mirror — the layout pass is pure numpy
+    and must not pull device arrays back (d2h sync hazard, see
+    LiftedProblem.edges_np)."""
     kg = KernelGraph.build(
-        problem.edges, problem.n, problem.num_robots, problem.offsets,
+        problem.host_edges, problem.n, problem.num_robots, problem.offsets,
         problem.num_poses, windowed=True,
     )
     return kg.with_rank(r or problem.r)
@@ -1329,10 +1342,18 @@ def _make_rtr_multistep_kernel(
             )
         else:
             relh0 = jnp.zeros((1, 1), jnp.float32)
+        # already-terminated input state runs zero steps (the caller may
+        # invoke the kernel unconditionally — no XLA outer loop)
+        rel_in = rel0_ref[:]
+        maxrel0 = jnp.max(jnp.where(relmask, rel_in, neg1))
+        ready0 = maxrel0 < tol
+        if gnc:
+            stop0 = jnp.logical_and(ready0, gnc_pending == 0)
+        else:
+            stop0 = ready0
         Xt_f, it_f, cost_f, rel_f, relh_f, _ = jax.lax.while_loop(
             step_cond, step_body,
-            (xt_ref[:], it0, cost0, rel0_ref[:], relh0,
-             jnp.asarray(False)),
+            (xt_ref[:], it0, cost0, rel_in, relh0, stop0),
         )
         xout_ref[:] = Xt_f
         relout_ref[:] = rel_f

@@ -105,6 +105,7 @@ class RBCDEngine:
             ],
             axis=0,
         )
+        self._masks_np = masks_np  # host copies: prep stays d2h-free
         self._masks = jnp.asarray(masks_np)
         self._all_mask = jnp.ones_like(self._masks[0])
         # greedy coloring of the robot adjacency graph for the Parallel rule
@@ -125,6 +126,7 @@ class RBCDEngine:
             ],
             axis=0,
         )
+        self._color_masks_np = color_masks_np
         self._color_masks = jnp.asarray(color_masks_np)
         self._adjf = jnp.asarray(self._adj_np.astype(np_dt))  # (R, R)
         self.Ylift: Optional[jnp.ndarray] = None
@@ -164,9 +166,10 @@ class RBCDEngine:
         (the separator structure, reference shared loop closures)."""
         prob = self.problem
         nR = prob.num_robots
-        src_r = np.asarray(prob.robot_of_pose)[np.asarray(prob.edges.src)]
-        dst_r = np.asarray(prob.robot_of_pose)[np.asarray(prob.edges.dst)]
-        mask = np.asarray(prob.edges.mask) > 0
+        he = prob.host_edges
+        src_r = np.asarray(prob.robot_of_pose)[np.asarray(he.src)]
+        dst_r = np.asarray(prob.robot_of_pose)[np.asarray(he.dst)]
+        mask = np.asarray(he.mask) > 0
         adj = np.zeros((nR, nR), bool)
         cross = mask & (src_r != dst_r)
         adj[src_r[cross], dst_r[cross]] = True
@@ -824,10 +827,8 @@ class RBCDEngine:
         mrows = jnp.asarray(
             np.concatenate(
                 [
-                    np.asarray(
-                        fused_rtr.mask_to_row(m, kg.n_pad), np.float32
-                    )
-                    for m in np.asarray(self._masks)
+                    fused_rtr.mask_to_row_np(m, kg.n_pad)
+                    for m in self._masks_np
                 ],
                 axis=0,
             )
@@ -835,10 +836,8 @@ class RBCDEngine:
         crows = jnp.asarray(
             np.concatenate(
                 [
-                    np.asarray(
-                        fused_rtr.mask_to_row(m, kg.n_pad), np.float32
-                    )
-                    for m in np.asarray(self._color_masks)
+                    fused_rtr.mask_to_row_np(m, kg.n_pad)
+                    for m in self._color_masks_np
                 ],
                 axis=0,
             )
@@ -1009,6 +1008,65 @@ class RBCDEngine:
 
         return run
 
+    def _host_cache_np(self, weights_np: np.ndarray):
+        """Host-numpy solver cache — (pt, wrows) with the same math as the
+        device ``cache_from_weights`` (damped block-Jacobi inverse in the
+        transposed layout + per-lane effective-weight rows).
+
+        Used for fixed-weight runs so the TIMED program contains no
+        gather/scatter at all: on this tunneled runtime, executing any
+        XLA gather op permanently degrades every later device sync in the
+        process from ~0.1 ms to ~26 ms (measured round 4,
+        docs/PERFORMANCE.md). Math mirrors quadratic.precond_blocks /
+        precond_inverse and fused_rtr.weight_rows_gather.
+        """
+        kg = self._kg
+        prob = self.problem
+        he = prob.host_edges
+        d = prob.d
+        n = prob.n
+        w = np.asarray(weights_np, np.float32) * np.asarray(
+            he.mask, np.float32
+        )
+        kw = w * np.asarray(he.kappa, np.float32)
+        tw = w * np.asarray(he.tau, np.float32)
+        t = np.asarray(he.t, np.float32)
+        src = np.asarray(he.src)
+        dst = np.asarray(he.dst)
+        I = np.eye(d, dtype=np.float32)
+        ttT = t[:, :, None] * t[:, None, :]
+        E = src.shape[0]
+        Dii = np.zeros((E, d + 1, d + 1), np.float32)
+        Dii[:, :d, :d] = kw[:, None, None] * I + tw[:, None, None] * ttT
+        Dii[:, :d, d] = tw[:, None] * t
+        Dii[:, d, :d] = tw[:, None] * t
+        Dii[:, d, d] = tw
+        Djj = np.zeros((E, d + 1, d + 1), np.float32)
+        Djj[:, :d, :d] = kw[:, None, None] * I
+        Djj[:, d, d] = tw
+        D = np.zeros((n, d + 1, d + 1), np.float32)
+        np.add.at(D, src, Dii)
+        np.add.at(D, dst, Djj)
+        scale = np.maximum(
+            np.trace(D, axis1=-2, axis2=-1)[:, None, None] / (d + 1), 1.0
+        )
+        D = D + 0.01 * scale * np.eye(d + 1, dtype=np.float32)
+        P = np.linalg.inv(D).astype(np.float32)
+        Pt = np.transpose(P, (1, 2, 0)).reshape((d + 1) * (d + 1), n)
+        pt = np.zeros(((d + 1) * (d + 1), kg.n_pad), np.float32)
+        pt[:, :n] = Pt
+        kwp = np.append(kw, 0.0).astype(np.float32)
+        twp = np.append(tw, 0.0).astype(np.float32)
+        kwc = kwp[kg.chain_edge_of_lane][None, :]
+        twc = twp[kg.chain_edge_of_lane][None, :]
+        kwl = kwp[kg.loop_edge_of_slot][None, :]
+        twl = twp[kg.loop_edge_of_slot][None, :]
+        kwd = kwp[kg.diag_edge_of_lane].reshape(-1, kg.n_pad)
+        twd = twp[kg.diag_edge_of_lane].reshape(-1, kg.n_pad)
+        return jnp.asarray(pt), tuple(
+            jnp.asarray(x) for x in (kwc, twc, kwl, twl, kwd, twd)
+        )
+
     def _make_fused_run_multi(self, max_iters: int, record: bool = False):
         """Multi-step-kernel runner (round 4): the ENTIRE stretch of solver
         steps between GNC weight rounds — or the whole run for non-robust
@@ -1041,30 +1099,31 @@ class RBCDEngine:
         RELW = fused_rtr._REL_W
 
         # schedule per absolute iteration + the mask-row bank it indexes
+        # (all host-side numpy: prep must stay d2h-free, see edges_np)
         if cfg.update_rule == UpdateRule.PARALLEL:
             sched_np = np.arange(max_iters, dtype=np.int64) % self.num_colors
-            bank = np.asarray(self._color_masks)
+            bank = self._color_masks_np
         elif cfg.update_rule == UpdateRule.ROUND_ROBIN:
             sched_np = np.arange(max_iters, dtype=np.int64) % R
-            bank = np.asarray(self._masks)
+            bank = self._masks_np
         else:  # Uniform: same counter-based PRNG as the host driver
-            key0 = jax.random.PRNGKey(cfg.seed)
-            sched_np = np.asarray(
-                jax.vmap(
-                    lambda i: jax.random.randint(
-                        jax.random.fold_in(key0, i), (), 0, R
-                    )
-                )(jnp.arange(max_iters))
-            )
-            bank = np.asarray(self._masks)
+            from dpgo_ros_tpu.utils.hostenv import host_compute
+
+            with host_compute():
+                key0 = jax.random.PRNGKey(cfg.seed)
+                sched_np = np.asarray(
+                    jax.vmap(
+                        lambda i: jax.random.randint(
+                            jax.random.fold_in(key0, i), (), 0, R
+                        )
+                    )(jnp.arange(max_iters))
+                )
+            bank = self._masks_np
         sched = jnp.asarray(sched_np.astype(np.int32)[None, :])
         m_pad = fused_rtr._rup(bank.shape[0], 8)
         mrows_np = np.zeros((m_pad, kg.n_pad), np.float32)
         for i in range(bank.shape[0]):
-            mrows_np[i] = np.asarray(
-                fused_rtr.mask_to_row(jnp.asarray(bank[i]), kg.n_pad),
-                np.float32,
-            )[0]
+            mrows_np[i] = fused_rtr.mask_to_row_np(bank[i], kg.n_pad)[0]
         mrows_pad = jnp.asarray(mrows_np)
         adj_np = np.zeros((RELW, RELW), np.float32)
         adj_np[:R, :R] = self._adj_np.astype(np.float32)
@@ -1222,6 +1281,104 @@ class RBCDEngine:
             if gnc:
                 ready = ready & (wuc >= cfg.robust_opt_num_weight_updates)
             return (it < max_iters) & ~ready
+
+        import os as _os
+
+        _env = _os.environ.get("DPGO_FUSED_HOSTRUN")
+        if _env is not None:
+            use_host_run = _env not in ("0", "false", "False")
+        else:
+            use_host_run = not self._interpret_fused
+        if not gnc and use_host_run:
+            # Fixed-weight (non-robust) runs take a HOST-COMPOSED fast
+            # path: a small jit prep program, ONE standalone Pallas-kernel
+            # call for the entire solve, and a small jit post program.
+            # Default on the real-TPU backend only: the host-numpy
+            # preconditioner inverse differs from the device cholesky
+            # inverse at conditioning-amplified ULP level (~1e-4), which
+            # perturbs tCG trajectories — CPU test runs keep the device
+            # cache so the fused-vs-XLA equivalence pins stay bit-exact.
+            # Override with DPGO_FUSED_HOSTRUN=0/1.
+            #
+            # Two measured properties of this tunneled runtime force the
+            # structure (round 4, docs/PERFORMANCE.md):
+            #  * a Mosaic custom call executed INSIDE a larger jitted XLA
+            #    program costs a fixed ~50 ms per execution; the SAME
+            #    kernel called standalone is ~1 ms — so the kernel must be
+            #    dispatched as its own executable, not nested in an outer
+            #    jit/while_loop;
+            #  * executing any XLA gather op permanently degrades every
+            #    later device sync from ~0.1 ms to ~26 ms — so the solver
+            #    cache (preconditioner + weight rows) is precomputed on
+            #    the host in numpy (_host_cache_np; the L2 engine never
+            #    mutates weights, so the problem weights ARE the run
+            #    weights) and the prep/post programs are gather-free.
+            pt_h, wrows_h = self._host_cache_np(
+                np.asarray(self.problem.host_edges.weight)
+            )
+            ev_zero = np.zeros((max_iters,), np.int8)
+
+            @jax.jit
+            def prep(st: RBCDState):
+                Xt0 = fused_rtr.to_t(st.X, kg.n_pad)
+                rel_row0 = jnp.concatenate(
+                    [
+                        st.rel_change.astype(jnp.float32),
+                        jnp.full((RELW - R,), -1.0, jnp.float32),
+                    ]
+                )[None, :]
+                scal = jnp.concatenate(
+                    [
+                        st.iteration[None], st.iteration[None],
+                        jnp.zeros((6,), jnp.int32),
+                    ]
+                )[None, :]
+                return (
+                    Xt0, rel_row0, scal,
+                    st.cost.astype(jnp.float32)[None, None],
+                )
+
+            @jax.jit
+            def post(Xt, rel_row, stats):
+                X = fused_rtr.from_t(Xt, prob.n, prob.r, prob.d + 1)
+                return (
+                    X,
+                    stats[0, 0].astype(self.dtype),
+                    stats[0, 1].astype(jnp.int32),
+                    rel_row[0, :R].astype(self.dtype),
+                )
+
+            def run(st: RBCDState):
+                Xt0, rel_row0, scal, cost0 = prep(st)
+                out = fused_rtr.rtr_run_fused(
+                    Xt0, mrows_pad, pt_h, wrows_h, kg, self.rtr_params,
+                    adj_pad=adj_pad, rel0=rel_row0, sched=sched,
+                    scal=scal, cost0=cost0, it_cap=max_iters,
+                    tol=float(tol), gnc=False, inner=inner,
+                    inner_tol=cfg.robust_opt_inner_tol, record=record,
+                    interpret=self._interpret_fused,
+                    consts=consts, wins=wins, oh=self._kg_oh,
+                )
+                if record:
+                    Xt2, rel2, stats, relh = out
+                else:
+                    Xt2, rel2, stats = out
+                X, cost, it, rel_vec = post(Xt2, rel2, stats)
+                state = RBCDState(
+                    X=X, X_prev=X, V=X, theta=st.theta, iteration=it,
+                    cost=cost, rel_change=rel_vec, weights=st.weights,
+                    fixed_mask=st.fixed_mask, mu=st.mu,
+                    weight_update_count=st.weight_update_count,
+                )
+                if record:
+                    return (
+                        state,
+                        relh[:max_iters, :R].astype(self.dtype),
+                        ev_zero,
+                    )
+                return state
+
+            return run
 
         @jax.jit
         def run(st: RBCDState):

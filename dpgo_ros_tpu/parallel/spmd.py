@@ -159,7 +159,7 @@ class ShardedProblem:
         M = num_devices or nR
         assert M >= nR, "need at least one mesh slot per robot"
         n_max = int(np.max(problem.num_poses))
-        e = problem.edges
+        e = problem.host_edges  # numpy mirror: prep stays d2h-free
         src = np.asarray(e.src)
         dst = np.asarray(e.dst)
         rop = np.asarray(problem.robot_of_pose)

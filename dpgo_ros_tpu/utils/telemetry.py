@@ -97,9 +97,10 @@ def separator_incoming_counts(problem) -> "list[int]":
     import numpy as np
 
     rof = np.asarray(problem.robot_of_pose)
-    src = np.asarray(problem.edges.src)
-    dst = np.asarray(problem.edges.dst)
-    msk = np.asarray(problem.edges.mask) > 0
+    he = problem.host_edges
+    src = np.asarray(he.src)
+    dst = np.asarray(he.dst)
+    msk = np.asarray(he.mask) > 0
     sr, dr = rof[src], rof[dst]
     counts = []
     for k in range(problem.num_robots):

@@ -245,3 +245,68 @@ def test_weight_rows_gather_matches_scatter(small_problem):
     )
     for a, b in zip(ref, got):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_host_cache_matches_device(small_problem):
+    """The host-numpy solver cache (_host_cache_np — used by the TPU
+    host-composed runner, round 4) reproduces the device cache: weight
+    rows EXACTLY, the preconditioner inverse to conditioning-amplified
+    fp32 tolerance."""
+    prob = small_problem
+    cfg = AgentConfig(
+        num_robots=2, use_fused_kernel=True, dtype="float32"
+    )
+    eng = RBCDEngine(prob, cfg)
+    st = eng.initialize()
+    kg = eng._kg
+    e = eng._edges(st.weights)
+    pt_d = fused_rtr.pinv_to_t(eng._precond_inv(e), kg.n_pad)
+    cel, les, dle = kg.weight_rows_arrays()
+    e0 = prob.edges
+    wr_d = fused_rtr.weight_rows_gather(
+        e0.kappa, e0.tau, e0.mask, st.weights, cel, les, dle, kg.n_pad
+    )
+    pt_h, wr_h = eng._host_cache_np(np.asarray(prob.host_edges.weight))
+    for a, b in zip(wr_d, wr_h):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    scale = float(jnp.max(jnp.abs(pt_d)))
+    assert float(jnp.max(jnp.abs(pt_d - pt_h))) < 2e-2 * scale
+
+
+def test_host_composed_run_matches_engine(small_problem, monkeypatch):
+    """DPGO_FUSED_HOSTRUN=1 forces the host-composed runner (prep jit →
+    standalone kernel → post jit) on the CPU backend; it must track the
+    in-jit runner to preconditioner-noise tolerance and take the same
+    number of iterations."""
+    monkeypatch.setenv("DPGO_FUSED_HOSTRUN", "1")
+    prob = small_problem
+    cfg = AgentConfig(
+        num_robots=2,
+        update_rule=UpdateRule.ROUND_ROBIN,
+        local_initialization_method=InitMethod.ODOMETRY,
+        relative_change_tolerance=0.0,
+        max_iteration_number=6,
+        use_fused_kernel=True,
+        dtype="float32",
+    )
+    eng = RBCDEngine(prob, cfg)
+    st = eng.initialize()
+    out_h = eng.make_fused_run(6)(st)
+    monkeypatch.setenv("DPGO_FUSED_HOSTRUN", "0")
+    out_j = eng.make_fused_run(6)(st)
+    assert int(out_h.iteration) == int(out_j.iteration) == 6
+    # same optimization trajectory modulo preconditioner ULP noise
+    assert float(out_h.cost) == pytest.approx(float(out_j.cost), rel=2e-2)
+    # converged-state invariance: a run from an already-terminated state
+    # is the identity on both paths (in-kernel stop0)
+    import dataclasses as _dc
+
+    cfg2 = _dc.replace(cfg, relative_change_tolerance=1e9)
+    eng2 = RBCDEngine(prob, cfg2)
+    st2 = eng2.initialize()._replace(
+        rel_change=jnp.zeros((2,), jnp.float32)
+    )
+    monkeypatch.setenv("DPGO_FUSED_HOSTRUN", "1")
+    out2 = eng2.make_fused_run(6)(st2)
+    assert int(out2.iteration) == 0
+    np.testing.assert_array_equal(np.asarray(out2.X), np.asarray(st2.X))
