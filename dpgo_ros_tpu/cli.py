@@ -50,6 +50,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--demo", choices=["dpgo_demo", "asapp_demo", "dpgo_gnc_demo"])
     p.add_argument("--g2o", help="path to a g2o dataset file")
     p.add_argument("--dataset", help="bundled dataset name (e.g. sphere2500)")
+    p.add_argument(
+        "--frontend", metavar="HOST:PORT",
+        help="pull pose graphs from an out-of-process front-end service "
+             "(parallel/frontend.py — the reference request_pose_graph "
+             "service analog) and push solved trajectories back to it",
+    )
     p.add_argument("--csv", nargs="*", help="per-robot measurements.csv paths")
     p.add_argument(
         "--synthetic", choices=["sphere", "grid3d"],
@@ -159,6 +165,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_directory")
     p.add_argument("--publish_iterate", type=_bool, default=False)
     p.add_argument("--visualize_loop_closures", type=_bool, default=False)
+    p.add_argument(
+        "--viz_interval", type=float, default=0.0,
+        help="seconds between mid-run trajectory snapshots (0 = off; the "
+             "reference republishes rviz trajectories every 30 s, "
+             "PGOAgentROS.cpp:85-86). Engine/spmd/async modes.",
+    )
+    p.add_argument(
+        "--viz_interval_iters", type=int, default=None,
+        help="snapshot every N iterations/ticks instead of (or in "
+             "addition to) the wall-clock interval",
+    )
+    p.add_argument(
+        "--viz_dir", default=None,
+        help="snapshot directory (default: <output>_snapshots)",
+    )
     p.add_argument("--complete_reset", type=_bool, default=False)
     p.add_argument("--enable_recovery", type=_bool, default=False)
     p.add_argument("--synchronize_measurements", type=_bool, default=True)
@@ -401,7 +422,17 @@ def main(argv=None) -> int:
 
     # dataset resolution
     synth_gt = synth_out = None
-    if a.synthetic:
+    frontend_client = None
+    if a.frontend:
+        # out-of-process SLAM front-end: the reference's ingestion is a
+        # network service (``src/PGODatasetPublisherNode.cpp:46-51``);
+        # fleet agents additionally pull their slices through this socket
+        from dpgo_ros_tpu.parallel.frontend import RemoteDatasetServer
+
+        host, _, port = a.frontend.rpartition(":")
+        frontend_client = RemoteDatasetServer(host or "127.0.0.1", int(port))
+        data = frontend_client.fetch_data()
+    elif a.synthetic:
         from dpgo_ros_tpu.io.synthetic import generate_world
 
         kw = dict(n=a.synthetic_n)
@@ -435,6 +466,22 @@ def main(argv=None) -> int:
     t0 = time.time()
     summary = {}
     export_weights = None  # final GNC weights for the --output loop overlay
+
+    # mid-run observability (round 4): periodic trajectory snapshots — the
+    # reference's 30 s visualization timer (``PGOAgentROS.cpp:85-86``)
+    snap = None
+    if a.viz_interval > 0 or a.viz_interval_iters is not None:
+        from dpgo_ros_tpu.utils.snapshots import SnapshotWriter
+
+        snap_dir = a.viz_dir or (
+            (a.output + "_snapshots") if a.output else "dpgo_snapshots"
+        )
+        snap = SnapshotWriter(
+            snap_dir, data,
+            interval_sec=a.viz_interval,
+            interval_iters=a.viz_interval_iters,
+        )
+        print(f"mid-run snapshots -> {snap_dir}", file=sys.stderr)
     if cfg.verbose:
         print("resolved config: "
               + json.dumps(dataclasses.asdict(cfg), default=str),
@@ -478,6 +525,11 @@ def main(argv=None) -> int:
             eng = RBCDEngine(prob, cfg)  # shared initialization pipeline
             X0 = eng.initialize().X
         t_run0 = time.time()
+        on_chunk = (
+            (lambda t, s: snap.maybe_snapshot(t, s.X))
+            if snap is not None
+            else None
+        )
         with device_trace(a.profile_dir):
             st, info = aeng.run(
                 X0,
@@ -485,6 +537,7 @@ def main(argv=None) -> int:
                 tol=cfg.asapp_tolerance,
                 state=ast,
                 record=bool(a.log_directory),
+                on_chunk=on_chunk,
             )
         if mgr is not None:
             mgr.save(int(st.tick), st, None,
@@ -517,7 +570,7 @@ def main(argv=None) -> int:
     elif a.mode == "fleet":
         from dpgo_ros_tpu.parallel.controller import DistributedController
 
-        ctl = DistributedController(data, cfg)
+        ctl = DistributedController(data, cfg, dataset=frontend_client)
         if a.resume:
             rp = a.resume
             if rp == "latest" and a.checkpoint_dir:
@@ -627,6 +680,14 @@ def main(argv=None) -> int:
                     log_ev.append((it - it0, "UPDATE_WEIGHT"))
             if mgr is not None:
                 mgr.maybe_save(it + 1, st, None, meta={"it": it + 1})
+            if snap is not None and (
+                snap._due(it + 1)
+            ):
+                Xg_s = gather_trajectory(sp, st, prob.num_poses)
+                snap.snapshot(
+                    it + 1, Xg_s,
+                    weights=gather_weights(sp, st, prob.edges.num_edges),
+                )
             if it % 20 == 19:
                 rc = float(np.max(np.asarray(st.rel_change)))
                 if rc < cfg.relative_change_tolerance and (
@@ -717,13 +778,19 @@ def main(argv=None) -> int:
                   file=sys.stderr)
         else:
             st = eng.initialize()
-        cb = (
+        def _cb(it, s):
             # cadence on the *global* iteration counter so resumed runs
             # continue the same checkpoint grid
-            (lambda it, s: mgr.maybe_save(int(s.iteration), s, eng.Ylift))
-            if mgr is not None
-            else None
-        )
+            if mgr is not None:
+                mgr.maybe_save(int(s.iteration), s, eng.Ylift)
+            if snap is not None:
+                snap.maybe_snapshot(
+                    int(s.iteration), s.X,
+                    weights=np.asarray(s.weights),
+                    cost=float(s.cost),
+                )
+
+        cb = _cb if (mgr is not None or snap is not None) else None
         t_run0 = time.time()
         with device_trace(a.profile_dir):
             if a.mode == "fused":
@@ -855,6 +922,18 @@ def main(argv=None) -> int:
             show_loops=cfg.visualize_loop_closures,
         )
         print(f"wrote {a.output}_global.g2o and per-robot TUM files",
+              file=sys.stderr)
+    if frontend_client is not None and T is not None:
+        # return path: solved per-robot trajectories back to the front-end
+        # (reference publishOptimizedTrajectory, src/PGOAgentROS.cpp:622-660)
+        Tn = np.asarray(T)
+        off = 0
+        for k in range(data.num_robots):
+            nk = int(data.num_poses[k])
+            frontend_client.publish_trajectory(k, Tn[off:off + nk])
+            off += nk
+        frontend_client.close()
+        print(f"published {data.num_robots} trajectories to --frontend",
               file=sys.stderr)
     return 0
 

@@ -321,13 +321,16 @@ class ASAPPEngine:
         tol: float = 0.0,
         state: Optional[ASAPPState] = None,
         record: bool = False,
+        on_chunk=None,
     ) -> Tuple[ASAPPState, dict]:
         """Run up to ``num_ticks`` asynchronous ticks (chunked fused
         while_loops — each chunk is one dispatch) with optional
         relative-change termination at ``tol``. Pass ``state`` (e.g. a
         restored checkpoint) to continue a run instead of ``X0``;
         ``record=True`` collects per-tick per-robot relative changes
-        (info["rel_hist"], NaN rows dropped) for CSV telemetry."""
+        (info["rel_hist"], NaN rows dropped) for CSV telemetry.
+        ``on_chunk(tick, state)`` fires after each chunk — the hook for
+        mid-run snapshots (the reference's viz timer cadence)."""
         st = state if state is not None else self.init_state(X0)
         e = self.problem.edges
         costs = [float(quadratic.cost(st.X, e))]
@@ -351,6 +354,8 @@ class ASAPPEngine:
                 st = runner(st, jnp.asarray(until, jnp.int32))
             t = int(st.tick)
             costs.append(float(quadratic.cost(st.X, e)))
+            if on_chunk is not None:
+                on_chunk(t, st)
             converged = tol > 0 and bool(
                 np.all(np.asarray(st.rel_change) < tol)
             )

@@ -28,11 +28,16 @@ class DistributedController:
         data: PoseGraphData,
         config: AgentConfig,
         transport: Optional[Transport] = None,
+        dataset=None,
     ):
         self.data = data
         self.config = config.resolve()
         self.transport = transport or PerfectTransport(data.num_robots)
-        self.dataset = DatasetServer(data)
+        # ``dataset`` may be any object with the DatasetServer surface —
+        # e.g. a frontend.RemoteDatasetServer, in which case every agent's
+        # pose-graph pull crosses a process boundary exactly like the
+        # reference service call (``src/PGOAgentROS.cpp:246-261``)
+        self.dataset = dataset if dataset is not None else DatasetServer(data)
         self.agents: List[PGOAgentNode] = [
             PGOAgentNode(k, self.config, self.transport, self.dataset)
             for k in range(data.num_robots)
