@@ -67,8 +67,10 @@ Ddamp = Dii + damping * scale * np.eye(dp1)
 
 robot_of = np.asarray(prob.robot_of_pose)
 
+Dinv = np.linalg.inv(Ddamp)  # hoisted: constant across CG iterations
+
 def jac_solve(V):          # V (n, r, dp1) row conv: V_i <- V_i Ddamp_i^{-1}
-    return np.einsum("nab,nbc->nac", V, np.linalg.inv(Ddamp))
+    return np.einsum("nab,nbc->nac", V, Dinv)
 
 # block-Thomas factor/solve per robot block (chain = consecutive poses)
 def make_tri_solver(idx):
@@ -129,12 +131,9 @@ def run_cg(mask, Msolve, kappa=0.1, maxit=400):
         p = -z + beta * p
     return maxit, "budget"
 
-masks = np.asarray(eng._masks, np.float64)  # (R, n, 1, 1)? check shape
-print("mask shape", masks.shape)
+masks = np.asarray(eng._masks, np.float64)  # (R, n, 1, 1)
 for rb in range(5):
-    mask = masks[rb]
-    if mask.ndim == 3: mask = mask[:, None, :] if False else mask
-    mb = mask.reshape(n, 1, 1) if mask.size == n else mask
+    mb = masks[rb].reshape(n, 1, 1)
     idx = np.where(robot_of == rb)[0]
     tri = make_tri_solver(idx)
     def tri_solve(V, idx=idx, tri=tri):

@@ -30,4 +30,4 @@ jax.config.update("jax_enable_x64", True)
 # local CPU) causes SIGILL on load.
 os.makedirs("/tmp/jax_cache_cpu", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.05)

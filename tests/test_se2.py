@@ -138,3 +138,46 @@ def test_fused_kernel_se2_matches_xla():
         st = run(eng.initialize())
         out[fused] = float(st.cost)
     assert out[True] == pytest.approx(out[False], rel=2e-3)
+
+
+def test_fused_single_solve_se2_matches_xla_fast():
+    """Fast-suite d=2 numerical pin (ADVICE r3): one fused single-kernel
+    block solve against the XLA rtr_solve on a small SE(2) world — keeps
+    the dimension-generic kernel path covered without the slow engine
+    equivalence runs."""
+    import jax
+    import jax.numpy as jnp
+
+    from dpgo_ros_tpu.models.local_solvers import RTRParams, rtr_solve
+    from dpgo_ros_tpu.ops import fused_rtr, quadratic
+
+    data = _se2_dataset(n=16, num_robots=2)
+    prob = LiftedProblem.from_data(data, r=3, dtype=jnp.float32)
+    kg = fused_rtr.build_kernel_graph(prob)
+    e = prob.edges
+    params = RTRParams(
+        max_iterations=2, max_tcg_iterations=12, gradnorm_tol=0.1
+    )
+    key = jax.random.PRNGKey(2)
+    from dpgo_ros_tpu.ops import stiefel
+
+    Y = stiefel.random_stiefel(key, prob.n, prob.r, prob.d, jnp.float32)
+    p = 0.1 * jax.random.normal(key, (prob.n, prob.r, 1), jnp.float32)
+    X = jnp.concatenate([Y, p], axis=-1)
+    mask = prob.block_mask(0, jnp.float32)
+    Pinv = quadratic.precond_inverse(quadratic.precond_blocks(e, prob.n))
+    X_ref, res = rtr_solve(X, e, mask, Pinv, params)
+    Xt, stats = fused_rtr.rtr_solve_fused(
+        fused_rtr.to_t(X, kg.n_pad),
+        fused_rtr.mask_to_row(mask, kg.n_pad),
+        fused_rtr.pinv_to_t(Pinv, kg.n_pad),
+        kg.weight_rows(e, e.weight),
+        kg,
+        params,
+        interpret=jax.default_backend() != "tpu",
+    )
+    X_f = fused_rtr.from_t(Xt, prob.n, prob.r, prob.d + 1)
+    X_f = jnp.where(mask > 0, X_f, X)
+    assert float(stats[0, 1]) == pytest.approx(float(res.f_opt), rel=1e-4)
+    rel = float(jnp.max(jnp.abs(X_f - X_ref)) / jnp.max(jnp.abs(X_ref)))
+    assert rel < 1e-3
