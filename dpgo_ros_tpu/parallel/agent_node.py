@@ -103,6 +103,14 @@ class PGOAgentNode:
         self.dtype = (
             jnp.float64 if self.config.dtype == "float64" else jnp.float32
         )
+        # protocol-layer pose state is NUMPY (round 4): per-tick message
+        # handling (separator gathers/scatters, init bookkeeping) was
+        # paying an eager-JAX dispatch per operation — ~60 ms each on this
+        # runtime — which dominated fleet wall time; device arrays now
+        # exist only inside the solve calls
+        self.np_dt = (
+            np.float64 if self.config.dtype == "float64" else np.float32
+        )
         self.logger = IterationLogger(
             robot_id,
             (self.config.log_directory + f"/agent{robot_id}")
@@ -132,9 +140,10 @@ class PGOAgentNode:
         self.n_local = 0
         self.neighbor_slots: Dict[Tuple[int, int], int] = {}
         self.edges: Optional[EdgeSet] = None
-        self.X: Optional[jnp.ndarray] = None
-        self.V: Optional[jnp.ndarray] = None
-        self.X_prev: Optional[jnp.ndarray] = None
+        self.X: Optional[np.ndarray] = None  # host (numpy) pose state
+        self.V: Optional[np.ndarray] = None
+        self.X_prev: Optional[np.ndarray] = None
+        self._t_local_cache: Optional[np.ndarray] = None
         self.theta = 1.0
         self.Ylift: Optional[np.ndarray] = None
         self.anchor: Optional[np.ndarray] = None
@@ -526,24 +535,49 @@ class PGOAgentNode:
             use_preconditioner=cfg.RGD_use_preconditioner,
         )
 
-        def solve(X, weights, emask):
+        def solve_inner(X, weights, emask, P):
             e = dataclasses.replace(self.edges, weight=weights, mask=emask)
-            P = quadratic.precond_inverse(quadratic.precond_blocks(e, ntot))
             if cfg.solver == SolverMethod.RTR:
                 return rtr_solve(X, e, self._own_mask, P, rtr)
             return rgd_solve(X, e, self._own_mask, P, rgd)
 
-        self._solve_fn = jax.jit(solve)
+        def precond(weights, emask):
+            e = dataclasses.replace(self.edges, weight=weights, mask=emask)
+            return quadratic.precond_inverse(
+                quadratic.precond_blocks(e, ntot)
+            )
+
+        solve_jit = jax.jit(solve_inner)
+        precond_jit = jax.jit(precond)
+        self._precond_cache = None  # (weights id, emask id) -> P
+
+        def solve(X, weights, emask):
+            # the damped block-Jacobi inverse depends only on the weights
+            # and edge mask — both change at GNC rounds / membership
+            # events, not per solve; rebuilding it per call was ~15% of a
+            # fleet solve (reference clearDataMatrices invalidation,
+            # src/PGOAgentROS.cpp:1351)
+            c = self._precond_cache
+            if c is None or c[0] is not weights or c[1] is not emask:
+                # identity check; cached refs pin the arrays so ids can't
+                # be recycled under us
+                self._precond_cache = c = (
+                    weights, emask, precond_jit(weights, emask)
+                )
+            return solve_jit(X, weights, emask, c[2])
+
+        self._solve_fn = solve
         self._edge_mask_cache = None
         # pre-create the lifted state with identity Stiefel blocks so
         # neighbor separator poses can be buffered before initialization
+        self._t_local_cache = None
         if self.X is None:
             r, d = self.config.relaxation_rank, self.config.dimension
-            X = np.zeros((ntot, r, d + 1))
+            X = np.zeros((ntot, r, d + 1), self.np_dt)
             X[:, :d, :d] = np.eye(d)
-            self.X = jnp.asarray(X, self.dtype)
-            self.V = self.X
-            self.X_prev = self.X
+            self.X = X
+            self.V = X.copy()
+            self.X_prev = X.copy()
         # replay separator poses that arrived before the problem existed
         pending, self._pending_poses = self._pending_poses, []
         for msg in pending:
@@ -623,7 +657,12 @@ class PGOAgentNode:
         neighbor whose separator poses have arrived."""
         if self.Ylift is None:
             return
-        T_local = self._local_init_trajectory()
+        # cached: this runs every tick until initialization succeeds, and
+        # the odometry/chordal local init was being recomputed each time
+        # (measured as the single largest fleet-sim cost, round 4)
+        if self._t_local_cache is None:
+            self._t_local_cache = self._local_init_trajectory()
+        T_local = self._t_local_cache
         if self.is_leader():
             # warm start from the cached optimized trajectory (:354-361)
             if self.cached_trajectory is not None and len(
@@ -691,20 +730,18 @@ class PGOAgentNode:
     def _set_initialized(self, T_world: np.ndarray) -> None:
         ntot = self.n_local + len(self.neighbor_slots)
         Y = jnp.asarray(self.Ylift, self.dtype)
-        X = jnp.zeros((ntot, Y.shape[0], 4), self.dtype)
-        Xown = stiefel.lift_trajectory(jnp.asarray(T_world, self.dtype), Y)
-        X = X.at[: self.n_local].set(Xown)
+        X = np.zeros((ntot, Y.shape[0], 4), self.np_dt)
+        X[: self.n_local] = np.asarray(
+            stiefel.lift_trajectory(jnp.asarray(T_world, self.dtype), Y)
+        )
         # keep previously received neighbor poses
         if self.X is not None:
-            X = X.at[self.n_local :].set(self.X[self.n_local :])
+            X[self.n_local :] = np.asarray(self.X)[self.n_local :]
         else:
-            eye = jnp.zeros((Y.shape[0], 3), self.dtype).at[:3, :3].set(
-                jnp.eye(3, dtype=self.dtype)
-            )
-            X = X.at[self.n_local :, :, :3].set(eye)
+            X[self.n_local :, :3, :3] = np.eye(3)
         self.X = X
-        self.V = X
-        self.X_prev = X
+        self.V = X.copy()
+        self.X_prev = X.copy()
         # restore cached GNC weights (warm start, reference :1072-1075)
         if self.cached_weights:
             w = np.array(self.edges.weight)
@@ -748,7 +785,7 @@ class PGOAgentNode:
         ids = self._separator_ids()
         if ids.size == 0:
             return
-        poses = np.asarray(self.X[ids])
+        poses = self.X[ids]
         self.transport.publish(
             self.id,
             PublicPoses(
@@ -771,7 +808,7 @@ class PGOAgentNode:
                     iteration_number=self.iteration,
                     is_auxiliary=True,
                     pose_ids=ids,
-                    poses=np.asarray(self.V[ids]),
+                    poses=self.V[ids],
                 ),
             )
 
@@ -799,16 +836,16 @@ class PGOAgentNode:
                 slots.append(slot)
         if not rows:
             return
-        idx = jnp.asarray(np.asarray(slots) + self.n_local)
-        vals = jnp.asarray(msg.poses[np.asarray(rows)], self.dtype)
+        idx = np.asarray(slots) + self.n_local
+        vals = np.asarray(msg.poses[np.asarray(rows)], self.np_dt)
         if msg.is_auxiliary:
             if self.V is not None:
-                self.V = self.V.at[idx].set(vals)
+                self.V[idx] = vals
         else:
             if self.X is not None:
-                self.X = self.X.at[idx].set(vals)
+                self.X[idx] = vals
                 if self.V is not None and not self.config.acceleration:
-                    self.V = self.V.at[idx].set(vals)
+                    self.V[idx] = vals
             if not self._slot_known[slots].all():
                 self._slot_known[slots] = True
                 self._edge_mask_cache = None
@@ -870,7 +907,7 @@ class PGOAgentNode:
                 else (self.theta - 1.0) / theta_new
             )
             Z, res = self._solve_fn(self.V, self.edges.weight, emask)
-            X_acc = jnp.where(self._own_mask > 0, Z, self.X)
+            X_acc = jnp.where(self._own_mask > 0, Z, jnp.asarray(self.X))
             e = dataclasses.replace(self.edges, mask=emask)
             f_acc = float(quadratic.cost(X_acc, e))
             f_cur = float(quadratic.cost(self.X, e))
@@ -883,7 +920,9 @@ class PGOAgentNode:
                     ),
                 )
                 X_new = X_acc
-                V_new = jnp.where(self._own_mask > 0, Vk, self.V)
+                V_new = jnp.where(
+                    self._own_mask > 0, Vk, jnp.asarray(self.V)
+                )
                 self.theta = theta_new
             else:
                 X_new, res = self._solve_fn(self.X, self.edges.weight, emask)
@@ -894,9 +933,14 @@ class PGOAgentNode:
         else:
             X_new, res = self._solve_fn(self.X, self.edges.weight, emask)
             V_new = X_new
-        diff = np.asarray(X_new - self.X)[: self.n_local]
+        # np.array (not asarray): numpy views of device buffers are
+        # read-only, and message handlers mutate this state in place
+        X_new = np.array(X_new, self.np_dt)
+        V_new = np.array(V_new, self.np_dt)
+        diff = (X_new - self.X)[: self.n_local]
         self.relative_change = float(np.sqrt(np.sum(diff * diff)))
-        self.X_prev = jnp.where(self._own_mask > 0, self.X, self.X_prev)
+        own = np.asarray(self._own_mask) > 0
+        self.X_prev = np.where(own, self.X, self.X_prev)
         self.X = X_new
         self.V = V_new
         self.iteration = self._executing_iteration
@@ -942,11 +986,12 @@ class PGOAgentNode:
         t0 = _time.time()
         emask = self._edge_mask()
         X_new, res = self._solve_fn(self.X, self.edges.weight, emask)
-        diff = np.asarray(X_new - self.X)[: self.n_local]
+        X_new = np.array(X_new, self.np_dt)  # writable copy (see sync)
+        diff = (X_new - self.X)[: self.n_local]
         self.relative_change = float(np.sqrt(np.sum(diff * diff)))
-        self.X_prev = self.X
+        self.X_prev = self.X  # old buffer; X gets a fresh one below
         self.X = X_new
-        self.V = X_new
+        self.V = X_new.copy()
         self.iteration += 1
         self.solved_iterations += 1
         self.ready_to_terminate = (
@@ -1046,7 +1091,7 @@ class PGOAgentNode:
         self.ready_to_terminate = False
         self.relative_change = float("inf")
         self.theta = 1.0
-        self.V = self.X
+        self.V = None if self.X is None else self.X.copy()
         self._publish_status()
         self.logger.log_event("UPDATE_WEIGHT")
 
@@ -1124,9 +1169,11 @@ class PGOAgentNode:
         )
         Y = jnp.asarray(self.Ylift, self.dtype)
         Xown = stiefel.lift_trajectory(jnp.asarray(T_world, self.dtype), Y)
-        self.X = self.X.at[: self.n_local].set(Xown)
-        self.V = self.X
-        self.X_prev = self.X
+        X = np.array(self.X)
+        X[: self.n_local] = np.asarray(Xown)
+        self.X = X
+        self.V = X.copy()
+        self.X_prev = X.copy()
         self.theta = 1.0
         self._publish_poses_requested = True
         self.logger.log_event("ROBUST_RESET")
