@@ -44,6 +44,9 @@ class CertifiedResult(NamedTuple):
     min_eig: float
     crit_residual: float
     ranks_tried: tuple
+    # second-shift margin guard (ops/certificate.py, round 4)
+    min_eig_check: Optional[float] = None
+    margin_verified: bool = True
 
 
 def _tight_rtr(X, e, params: RTRParams, rounds: int):
@@ -76,12 +79,19 @@ def certified_solve(
     dtype=jnp.float64,
     verbose: bool = False,
     lanczos_maxiter: Optional[int] = None,
+    init: str = "chordal",
+    init_seed: int = 0,
 ) -> CertifiedResult:
     """Centralized certified solve of a PoseGraphData problem.
 
-    Chordal init at rank ``r0`` (default d+2, the SE-Sync starting rung) →
+    Init at rank ``r0`` (default d+2, the SE-Sync starting rung) →
     tight RTR → dual certificate → on failure, rank-ascend along the
     negative eigenvector with a backtracking step and re-solve.
+
+    ``init="random"`` starts from a random point instead of chordal —
+    with ``r0=d`` this reliably lands in suboptimal critical points and
+    exercises the staircase's escape path on real datasets (round 4,
+    ``scripts/record_staircase.py``).
     """
     from dpgo_ros_tpu.models.problem import LiftedProblem
 
@@ -96,20 +106,51 @@ def certified_solve(
         gradnorm_tol=gradnorm_tol,
     )
 
-    T0 = chordal.chordal_initialization(e, prob.n)
-    T0 = rounding.anchor_to_first_pose(jnp.asarray(T0, dtype))
-    if r == d:
-        Ylift = jnp.eye(d, dtype=dtype)
-    else:
-        Ylift = stiefel.random_lifting_matrix(
-            jax.random.PRNGKey(0), r, d, dtype
+    if init == "random":
+        key = jax.random.PRNGKey(init_seed)
+        Y0 = stiefel.random_stiefel(key, prob.n, r, d, dtype)
+        p0 = 2.0 * jax.random.normal(
+            jax.random.fold_in(key, 1), (prob.n, r, 1), dtype
         )
-    X = stiefel.lift_trajectory(T0, Ylift)
+        X = jnp.concatenate([Y0, p0], axis=-1)
+    elif init == "perturbed":
+        # chordal init + a large tangent kick: lands in suboptimal basins
+        # at r0=d (exercising the staircase escape on real datasets)
+        # while staying well-conditioned enough for RTR to reach a
+        # critical point — fully-random inits were observed to stall
+        # short of criticality on smallGrid3D (round 4)
+        key = jax.random.PRNGKey(init_seed)
+        T0 = chordal.chordal_initialization(e, prob.n)
+        T0 = rounding.anchor_to_first_pose(jnp.asarray(T0, dtype))
+        Ylift = (
+            jnp.eye(d, dtype=dtype)
+            if r == d
+            else stiefel.random_lifting_matrix(key, r, d, dtype)
+        )
+        X = stiefel.lift_trajectory(T0, Ylift)
+        noise = jax.random.normal(
+            jax.random.fold_in(key, 2), X.shape, dtype
+        )
+        X = stiefel.retract_polar(
+            X, 3.0 * stiefel.proj_tangent(X, noise)
+        )
+    else:
+        T0 = chordal.chordal_initialization(e, prob.n)
+        T0 = rounding.anchor_to_first_pose(jnp.asarray(T0, dtype))
+        if r == d:
+            Ylift = jnp.eye(d, dtype=dtype)
+        else:
+            Ylift = stiefel.random_lifting_matrix(
+                jax.random.PRNGKey(0), r, d, dtype
+            )
+        X = stiefel.lift_trajectory(T0, Ylift)
 
     ranks = []
     cert = None
+    crit_retries = 0
     while True:
-        ranks.append(X.shape[1])
+        if not ranks or ranks[-1] != X.shape[1]:
+            ranks.append(X.shape[1])
         X, res = _tight_rtr(X, e, params, rtr_rounds)
         cert = certificate.certify(
             X, e, eig_tol=eig_tol, crit_tol=crit_tol,
@@ -126,6 +167,15 @@ def certified_solve(
             )
         if cert.is_global or X.shape[1] >= max_rank:
             break
+        if cert.eigvec is None:
+            # not yet critical to crit_tol (adversarial inits can need
+            # more than one tight-RTR budget at a rank) — keep solving at
+            # the SAME rank; an escape needs the certificate eigenvector
+            crit_retries += 1
+            if crit_retries > 5:
+                break  # give up: report the uncertified point honestly
+            continue
+        crit_retries = 0
         # staircase: ascend one rank along the negative eigenvector with a
         # backtracking step (guaranteed descent for small enough alpha)
         Xp, dirn = certificate.escape_direction(X, cert)
@@ -172,4 +222,9 @@ def certified_solve(
         min_eig=float(cert.min_eig),
         crit_residual=float(cert.crit_residual),
         ranks_tried=tuple(ranks),
+        min_eig_check=(
+            None if cert.min_eig_check is None
+            else float(cert.min_eig_check)
+        ),
+        margin_verified=bool(cert.margin_verified),
     )

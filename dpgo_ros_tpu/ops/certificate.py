@@ -67,6 +67,13 @@ class CertificateResult(NamedTuple):
     crit_residual: float
     eigvec: Optional[np.ndarray]
     scale: float
+    # second-shift margin guard (round 4): ``min_eig`` recomputed with an
+    # independent spectral shift. Certificates whose margin is within
+    # ``MARGIN_GUARD_BAND``·scale of the accept/reject boundary are only
+    # trusted when both shifts agree (an fp Lanczos wobble at a 1e-9-thin
+    # margin could otherwise flip the verdict).
+    min_eig_check: Optional[float] = None
+    margin_verified: bool = True
 
 
 def lambda_blocks(X: jnp.ndarray, e: EdgeSet) -> jnp.ndarray:
@@ -107,6 +114,11 @@ def _q_scale(e: EdgeSet, n: int) -> float:
     return float(jnp.max(jnp.linalg.norm(P, axis=(-2, -1)))) + 1e-30
 
 
+# relative band around the accept threshold inside which a certificate
+# verdict requires second-shift agreement (see CertificateResult)
+MARGIN_GUARD_BAND = 1e-7
+
+
 def min_eig_lanczos(
     X: jnp.ndarray,
     Lam: jnp.ndarray,
@@ -114,6 +126,7 @@ def min_eig_lanczos(
     num_eigs: int = 1,
     tol: float = 1e-6,
     maxiter: Optional[int] = None,
+    sigma_boost: float = 1.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Smallest eigenpair of S by *shifted* Lanczos (scipy ``eigsh``).
 
@@ -152,7 +165,10 @@ def min_eig_lanczos(
         return vals[-1], vals, vecs
 
     lam_max, _, _ = top_eig(s_apply)
-    sigma = abs(float(lam_max)) * 1.01 + 1e-8
+    # sigma_boost > 1 selects an intentionally DIFFERENT (larger) shift —
+    # the second-opinion run of the margin guard must not share the
+    # original's spectral conditioning
+    sigma = (abs(float(lam_max)) * 1.01 + 1e-8) * float(sigma_boost)
 
     _, vals_sh, vecs = top_eig(lambda v: sigma * v - s_apply(v))
     vals = sigma - vals_sh[::-1]  # ascending eigenvalues of S
@@ -184,8 +200,22 @@ def certify(
     )
     min_eig = float(vals[0])
     vec = vecs[:, 0].reshape(n, X.shape[-1])
+    is_global = min_eig >= -eig_tol * scale
+    # margin guard: a verdict decided by a margin thinner than the guard
+    # band is re-checked with an INDEPENDENT spectral shift (sigma chosen
+    # from a different bound); both runs must land on the same side
+    min_eig2 = None
+    verified = True
+    margin = abs(min_eig + eig_tol * scale)
+    if margin < MARGIN_GUARD_BAND * scale:
+        vals2, _ = min_eig_lanczos(
+            X, Lam, e, tol=lanczos_tol * 0.1, maxiter=maxiter,
+            sigma_boost=3.0,
+        )
+        min_eig2 = float(vals2[0])
+        verified = (min_eig2 >= -eig_tol * scale) == is_global
     return CertificateResult(
-        min_eig >= -eig_tol * scale, min_eig, cres, vec, scale
+        is_global, min_eig, cres, vec, scale, min_eig2, verified
     )
 
 

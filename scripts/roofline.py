@@ -1,4 +1,14 @@
-"""Roofline accounting for the fused RTR block-solve kernel (VERDICT r2 #2).
+"""Roofline accounting for the fused RTR block-solve kernel.
+
+Round 4 (VERDICT r3 #3): all six benchmark problems (sphere2500, cubicle,
+torus3D, parking-garage, 8-robot tunnels + its GNC weight-round program)
+and a MEASURED attainable-VPU calibration (scripts/measure_peaks.py)
+alongside the spec-derived nominals. The measured elementwise-chain rate
+on this v5e is ~1 TF/s fp32 — ~12x below the 12.3 TF/s nominal (which
+assumed 4 dual-issue ALUs) and within ~10%% of the fused kernel's
+observed per-tCG rate, i.e. the kernel runs at the attainable elementwise
+rate and the round-3 "8.8%% of ideal" framing measured the spec sheet,
+not kernel headroom.
 
 Computes ANALYTIC per-phase op counts for the fused kernel (ops/fused_rtr.py)
 from the KernelGraph's static edge layout, measures ATTAINABLE device peaks
@@ -39,6 +49,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
@@ -120,7 +131,12 @@ def analytic(kg, r):
 # ------------------------------------------------------------- measurements
 
 def build(name, num_robots, r=5):
-    data = load_g2o_dataset(name, num_robots=num_robots)
+    if name == "tunnels":
+        from dpgo_ros_tpu.io.datasets import load_tunnels
+
+        data = load_tunnels(num_robots=num_robots)
+    else:
+        data = load_g2o_dataset(name, num_robots=num_robots)
     prob = LiftedProblem.from_data(data, r=r, dtype=jnp.float32)
     kg = fused_rtr.build_kernel_graph(prob)
     return prob, kg
@@ -184,6 +200,32 @@ def solve_time(prob, kg, params, reps=(4, 36)):
     return (t2 - t1) / (r2 - r1), float("nan")
 
 
+def _time_weight_round(prob):
+    """Wall time of one GNC weight-round program (engine
+    _weight_update_impl) — the non-kernel piece of the robust program."""
+    from dpgo_ros_tpu.parallel.rbcd import RBCDEngine
+    from dpgo_ros_tpu.utils.config import AgentConfig, RobustCostType
+
+    cfg = AgentConfig(
+        num_robots=prob.num_robots,
+        robust_cost_type=RobustCostType.GNC_TLS,
+        GNC_use_probability=False,
+        GNC_barc=3.0,
+        dtype="float32",
+    )
+    eng = RBCDEngine(prob, cfg)
+    st = eng.initialize()
+    out = eng._weight_upd(st)
+    jax.block_until_ready(out.weights)
+    ts = []
+    for _ in range(5):
+        t0 = time.time()
+        out = eng._weight_upd(st)
+        jax.block_until_ready(out.weights)
+        ts.append(time.time() - t0)
+    return min(ts)
+
+
 def forced_params(K):
     """RTR params that provably execute 3 x K tCG iterations: kappa=0 makes
     the residual target 0 (never converges), radius 1e8 never hits the
@@ -208,7 +250,22 @@ def main():
     out["mxu_peak_flops_nominal"] = V5E_MXU_BF16
     log(f"VPU ceiling (spec-derived): {vpu/1e12:.2f} TFLOP/s")
 
-    for name, num_robots in [("sphere2500", 5), ("cubicle", 2)]:
+    # round 4: MEASURED attainable VPU rate (validated logistic-chain
+    # calibration; see scripts/measure_peaks.py) — the spec-derived
+    # nominal assumed 4 dual-issue ALUs and overestimates this chip's
+    # elementwise-chain throughput ~10x
+    import measure_peaks
+
+    cal = measure_peaks.measure_vpu_attainable()
+    out["vpu_attainable_calibration"] = cal
+    vpu_att = cal["vpu_attainable_flops"] if cal["valid"] else None
+    if vpu_att:
+        log(f"VPU attainable (measured): {vpu_att/1e12:.2f} TFLOP/s")
+
+    for name, num_robots in [
+        ("sphere2500", 5), ("cubicle", 2), ("torus3D", 2),
+        ("parking-garage", 2), ("tunnels", 8),
+    ]:
         prob, kg = build(name, num_robots)
         a = analytic(kg, prob.r)
         ks = [1, 10, 50]
@@ -220,6 +277,14 @@ def main():
         # per-tCG slope from the K sweep (3 TR iterations each)
         slope = (times[50] - times[1]) / (3 * (50 - 1))
         intercept = times[1] - 3 * slope  # per-solve fixed + 3x(retract+trial)
+        # validity: the forced sweep only measures where tCG curvature
+        # stays positive — a dHd<=0 exit on the first iteration makes all
+        # budgets take the same time (parking-garage at its chordal
+        # state); require a monotone, clearly-positive slope
+        slope_valid = (
+            times[50] > times[10] > times[1]
+            and slope > 0.05 * (times[50] / (3 * 50))
+        )
         # reference-budget solve (the bench config)
         bench_dt, _ = solve_time(
             prob, kg,
@@ -227,11 +292,17 @@ def main():
                       gradnorm_tol=0.5),
         )
         floor_tcg = a["tcg_vpu_flops"] / vpu + a["q_mxu_flops"] / V5E_MXU_BF16
+        floor_att = (
+            (a["tcg_vpu_flops"] / vpu_att + a["q_mxu_flops"] / V5E_MXU_BF16)
+            if vpu_att
+            else None
+        )
         # sublane-tile derate: row ops ride (r, n_pad) and (1, n_pad) slices
         # of the native (8,128) VPU tile -> r/8 occupancy on the dominant ops
         derate = prob.r / 8.0
         d = {
             **a,
+            "slope_valid": slope_valid,
             "per_tcg_iter_measured_s": slope,
             "per_solve_intercept_s": intercept,
             "forced_times_s": {str(k): times[k] for k in ks},
@@ -240,18 +311,48 @@ def main():
             "per_tcg_floor_tiled_s": floor_tcg / derate,
             "fraction_of_ideal": floor_tcg / slope,
             "fraction_of_tiled": (floor_tcg / derate) / slope,
+            "per_tcg_floor_attainable_s": floor_att,
+            "fraction_of_attainable": (
+                floor_att / slope if floor_att else None
+            ),
             "hbm_oneshot_s": (
                 (a["C"] * a["n_pad"] * 4 * 2 + kg.E_loop_pad * 64)
                 / V5E_HBM_BPS
             ),
         }
+        if not slope_valid:
+            for k in (
+                "fraction_of_ideal", "fraction_of_tiled",
+                "fraction_of_attainable",
+            ):
+                d[k] = None
+            d["slope_invalid_reason"] = (
+                "forced-budget sweep exits on negative curvature at this "
+                "dataset's chordal state (dHd<=0 on the first tCG "
+                "iteration) — all budgets cost the same, no slope exists"
+            )
+        if name == "tunnels":
+            # GNC program accounting: the robust outer loop adds one
+            # weight-round XLA program per round (residuals on the rounded
+            # trajectory + TLS weights + cache refresh) — time it
+            d["gnc_weight_round_s"] = _time_weight_round(prob)
         out["datasets"][name] = d
-        log(
-            f"{name}: slope {slope*1e6:.2f} us/tCG-iter; ideal floor "
-            f"{floor_tcg*1e6:.2f} us ({100*d['fraction_of_ideal']:.1f}%), "
-            f"tile-derated floor {floor_tcg/derate*1e6:.2f} us "
-            f"({100*d['fraction_of_tiled']:.1f}%)"
-        )
+        if slope_valid:
+            log(
+                f"{name}: slope {slope*1e6:.2f} us/tCG-iter; ideal floor "
+                f"{floor_tcg*1e6:.2f} us "
+                f"({100*d['fraction_of_ideal']:.1f}%), "
+                f"tile-derated floor {floor_tcg/derate*1e6:.2f} us "
+                f"({100*d['fraction_of_tiled']:.1f}%)"
+                + (
+                    f", attainable floor {floor_att*1e6:.2f} us "
+                    f"({100*d['fraction_of_attainable']:.1f}%)"
+                    if floor_att
+                    else ""
+                )
+            )
+        else:
+            log(f"{name}: slope INVALID ({d['slope_invalid_reason']})")
 
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
