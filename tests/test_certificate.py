@@ -123,3 +123,35 @@ def test_staircase_escapes_suboptimal_critical_point():
     assert float(quadratic.cost(X2, e)) == pytest.approx(
         TINY_OPT, abs=1e-3
     )
+
+
+def test_margin_guard_second_shift_agreement():
+    """Thin-margin certificates (within MARGIN_GUARD_BAND·scale of the
+    accept threshold) trigger an independent second-shift Lanczos run
+    whose verdict must agree (round 4: several golden certificates carry
+    1e-9-scale min-eig margins where a Lanczos wobble could flip them)."""
+    prob = _tiny_problem(r=5)
+    e = prob.edges
+    params = RTRParams(
+        max_iterations=100, max_tcg_iterations=200, gradnorm_tol=1e-8
+    )
+    from dpgo_ros_tpu.ops import chordal, rounding
+
+    T0 = rounding.anchor_to_first_pose(
+        jnp.asarray(chordal.chordal_initialization(e, prob.n), jnp.float32)
+    )
+    Y = stiefel.random_lifting_matrix(jax.random.PRNGKey(0), 5, 3)
+    X, _ = _tight_rtr(stiefel.lift_trajectory(T0, Y), e, params, 10)
+    base = certificate.certify(X, e)
+    assert base.is_global
+    # wide margin: no second shift spent
+    assert base.min_eig_check is None and base.margin_verified
+    # force a thin margin: put the accept threshold right at -min_eig
+    eig_tol_thin = max(-base.min_eig / base.scale, 0.0) + 1e-9
+    thin = certificate.certify(X, e, eig_tol=eig_tol_thin)
+    assert thin.min_eig_check is not None  # second shift ran
+    assert thin.margin_verified  # both shifts agree on the verdict
+    # the two independently-shifted eigensolves agree numerically
+    assert abs(thin.min_eig_check - thin.min_eig) <= 1e-4 * max(
+        1.0, abs(thin.min_eig)
+    ) + 1e-5 * thin.scale
