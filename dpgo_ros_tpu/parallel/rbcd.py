@@ -1448,9 +1448,16 @@ class RBCDEngine:
         if self._use_fused and not self.config.acceleration:
             import os
 
+            # very large worlds keep the per-step kernel: the multi-step
+            # program at n_pad 25k+ exceeds what this runtime's remote
+            # compile service can build (HTTP 500, measured round 4 —
+            # the single-solve kernel still compiles at 25k), and at
+            # ms-scale solves the per-launch overhead it amortizes is
+            # negligible anyway
+            multistep_ok = self._kg.n_pad <= 16384
             if os.environ.get("DPGO_FUSED_MULTISTEP", "1") not in (
                 "0", "false", "False",
-            ):
+            ) and multistep_ok:
                 # round-4 fast path: the step loop lives IN the kernel —
                 # one launch per GNC stretch (see _make_fused_run_multi)
                 return self._make_fused_run_multi(max_iters, record)
