@@ -80,6 +80,8 @@ def _make_asapp_kernel(
     win_w: int,
     diags2: Tuple[int, ...],
     has_loops: bool,
+    offsets: Tuple[int, ...] = (),
+    num_poses: Tuple[int, ...] = (),
 ):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -98,9 +100,10 @@ def _make_asapp_kernel(
         *rest,
     ):
         if windowed:
-            wins_ref, xout_ref, stats_ref, acc_ref, thl_ref = rest
+            (wins_ref, xout_ref, stats_ref, acc_ref, zfull_ref,
+             gfull_ref, thl_ref) = rest
         else:
-            xout_ref, stats_ref, acc_ref = rest
+            xout_ref, stats_ref, acc_ref, zfull_ref, gfull_ref = rest
             wins_ref = thl_ref = None
 
         alg = make_edge_alg(
@@ -129,14 +132,50 @@ def _make_asapp_kernel(
                     delay == j, hist_ref[j * Cp:j * Cp + C, :], stale
                 )
             Z = X * mrow + stale * (1.0 - mrow)
+            # static 256-aligned lane window covering robot k's block
+            # (round 4): the per-lane math (projection, preconditioning,
+            # retraction) only matters on the updating robot's own lanes
+            # — the full gradient still couples all lanes, but the
+            # manifold algebra shrinks from (C, n_pad) to (C, w_k).
+            # Per-lane ops are column-independent, so the kept lanes are
+            # bit-identical to the full-width computation.
+            if offsets and num_poses:
+                o, nk = offsets[k], num_poses[k]
+                o0 = (o // 256) * 256
+                w = min(-(-(o + nk - o0) // 256) * 256, n_pad - o0)
+            else:
+                o0, w = 0, n_pad
+            # lane slices of COMPUTED values are rejected by Mosaic
+            # ("Invalid input layout"); stage Z and G through VMEM
+            # scratch refs — static aligned REF slices are supported
+            mb = masks_ref[k:k + 1, o0:o0 + w]
+            Ptb = pinv_ref[:, o0:o0 + w]
             for _ in range(steps_per_tick):  # static unroll (rate/100)
                 G, _f = alg.egrad_and_cost(Z, with_f=False)
-                g = mrow * alg.proj(Z, G)
+                zfull_ref[:] = Z
+                gfull_ref[:] = G
+                Zb = zfull_ref[:, o0:o0 + w]
+                gb = mb * alg.proj(Zb, gfull_ref[:, o0:o0 + w])
                 if use_precond:
-                    g = mrow * alg.proj(Z, alg.precond(g))
-                Z = alg.retract(Z, -gamma * g)
+                    gb = mb * alg.proj(Zb, alg.precond_with(gb, Ptb))
+                Zb2 = alg.retract(Zb, -gamma * gb)
+                Zb2 = Zb2 * mb + Zb * (1.0 - mb)
+                if o0 == 0 and w == n_pad:
+                    Z = Zb2
+                else:
+                    parts = []
+                    if o0 > 0:
+                        parts.append(zfull_ref[:, :o0])
+                    parts.append(Zb2)
+                    if o0 + w < n_pad:
+                        parts.append(zfull_ref[:, o0 + w:])
+                    Z = jnp.concatenate(parts, axis=1)
             Xnew = Xnew * (1.0 - mrow) + Z * mrow
-            Dk = (Z - X) * mrow
+            zfull_ref[:] = Z
+            gfull_ref[:] = X
+            Dk = (
+                zfull_ref[:, o0:o0 + w] - gfull_ref[:, o0:o0 + w]
+            ) * mb
             stats = jnp.where(
                 iota_s == (_S_MOVED + k),
                 jnp.sqrt(jnp.sum(Dk * Dk)),
@@ -150,7 +189,11 @@ def _make_asapp_kernel(
         pl.BlockSpec(memory_space=pltpu.SMEM),  # delays (1, R) i32
         pl.BlockSpec(memory_space=pltpu.SMEM),  # gamma (1, 1) f32
     ]
-    scratch = [pltpu.VMEM((2 * C, n_pad), jnp.float32)]
+    scratch = [
+        pltpu.VMEM((2 * C, n_pad), jnp.float32),
+        pltpu.VMEM((C, n_pad), jnp.float32),  # Z staging (lane slices)
+        pltpu.VMEM((C, n_pad), jnp.float32),  # G staging
+    ]
     if windowed:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))  # wins
         scratch.append(pltpu.VMEM((2 * C, n_pad), jnp.bfloat16))
@@ -203,6 +246,8 @@ def asapp_tick_fused(
         Kp1, steps_per_tick, use_precond, interpret,
         kg.loop_win_off is not None, int(kg.loop_win_w),
         tuple(kg.diags2), kg.E_loop > 0,
+        tuple(int(o) for o in kg.offsets),
+        tuple(int(x) for x in kg.num_poses),
     )
     cs = consts if consts is not None else kg.constants()
     idx2, Rc, tc, Rl, tl, d2R, d2t = cs

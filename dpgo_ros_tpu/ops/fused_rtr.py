@@ -736,11 +736,19 @@ def make_edge_alg(
 
     def precond(V):
         """V ← V·P⁻¹ per pose (component-major rows)."""
+        return precond_with(V, Pt)
+
+    def precond_with(V, Ptv):
+        """precond against an explicit (sliced) transposed inverse — all
+        per-lane algebra here is column-independent, so callers may
+        restrict to a static lane window (ASAPP per-robot blocks)."""
         out = []
         for b2 in range(d + 1):
-            acc = V[0:r] * Pt[0 * (d + 1) + b2][None, :]
+            acc = V[0:r] * Ptv[0 * (d + 1) + b2][None, :]
             for b in range(1, d + 1):
-                acc = acc + V[b * r:(b + 1) * r] * Pt[b * (d + 1) + b2][None, :]
+                acc = acc + (
+                    V[b * r:(b + 1) * r] * Ptv[b * (d + 1) + b2][None, :]
+                )
             out.append(acc)
         return jnp.concatenate(out, axis=0)
 
@@ -784,6 +792,7 @@ def make_edge_alg(
         rowsum=rowsum,
         proj=proj,
         precond=precond,
+        precond_with=precond_with,
         inner=inner,
         retract=retract,
     )
