@@ -83,10 +83,14 @@ def _measure(rule, num_iters):
     run = eng.make_fused_run(num_iters)
     warm = run(st)
     warm.cost.block_until_ready()
-    t0 = time.time()
-    out = run(st)
-    out.cost.block_until_ready()
-    dt = time.time() - t0
+    # best-of-3: the whole solve is sub-millisecond, so single-shot wall
+    # timing through the tunnel jitters ±30%
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        out = run(st)
+        out.cost.block_until_ready()
+        dt = min(dt, time.time() - t0)
     return eng, st, out, dt
 
 
