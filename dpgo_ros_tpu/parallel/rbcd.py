@@ -371,6 +371,9 @@ class RBCDEngine:
         X = stiefel.lift_trajectory(T, self.Ylift)
         E = prob.edges.num_edges
         weights = jnp.asarray(self.problem.edges.weight, self.dtype)
+        # remembered so the host-composed runner can recognize "the weights
+        # initialize() produced" by identity and skip any device→host read
+        self._init_weights = weights
         fixed = 1.0 - jnp.asarray(self.problem.edges.is_loop, self.dtype)
         if self.config.robust_cost_type == RobustCostType.L2:
             fixed = jnp.ones_like(fixed)
@@ -1223,7 +1226,10 @@ class RBCDEngine:
                         cache_from_weights(s2.weights),
                     ), cost2
 
-                rel_vecm = jnp.where(iota_l < R, rel_row, jnp.inf)
+                # padding lanes must NOT block the all() — pad with -inf so
+                # only the R real lanes gate the tolerance clause (matches
+                # cond_fn's -1.0 padding and the kernel's relmask handling)
+                rel_vecm = jnp.where(iota_l < R, rel_row, -jnp.inf)
                 if cfg.robust_opt_inner_tol is not None:
                     fire = jnp.all(
                         rel_vecm < cfg.robust_opt_inner_tol
@@ -1313,9 +1319,32 @@ class RBCDEngine:
             #    the host in numpy (_host_cache_np; the L2 engine never
             #    mutates weights, so the problem weights ARE the run
             #    weights) and the prep/post programs are gather-free.
-            pt_h, wrows_h = self._host_cache_np(
-                np.asarray(self.problem.host_edges.weight)
-            )
+            default_w = np.asarray(self.problem.host_edges.weight)
+            default_cache = self._host_cache_np(default_w)
+            cache_memo = {}
+
+            def host_cache_for(w_arr):
+                # ADVICE r4: a resumed-checkpoint state may carry weights
+                # that differ from the problem's — the solver cache must be
+                # built from the STATE's weights, not the problem's.
+                # Identity-memoized: the normal path (weights IS the array
+                # initialize() produced) stays device-to-host-transfer-free;
+                # an unrecognized weights array pays one host read on its
+                # first run() call, then hits the memo.
+                if w_arr is getattr(self, "_init_weights", None):
+                    return default_cache
+                hit = cache_memo.get(id(w_arr))
+                if hit is not None and hit[0] is w_arr:
+                    return hit[1]
+                w_np = np.asarray(w_arr, np.float32)
+                cache = (
+                    default_cache
+                    if np.array_equal(w_np, default_w)
+                    else self._host_cache_np(w_np)
+                )
+                cache_memo[id(w_arr)] = (w_arr, cache)
+                return cache
+
             ev_zero = np.zeros((max_iters,), np.int8)
 
             @jax.jit
@@ -1349,6 +1378,7 @@ class RBCDEngine:
                 )
 
             def run(st: RBCDState):
+                pt_h, wrows_h = host_cache_for(st.weights)
                 Xt0, rel_row0, scal, cost0 = prep(st)
                 out = fused_rtr.rtr_run_fused(
                     Xt0, mrows_pad, pt_h, wrows_h, kg, self.rtr_params,

@@ -134,6 +134,46 @@ def test_gnc_engine_outlier_precision_recall():
     assert info["final_cost"] < 1e5
 
 
+def test_multistep_runner_fires_convergence_gated_weight_rounds(monkeypatch):
+    """Regression (ADVICE r4, high): the multi-step fused runner padded the
+    relative-change row with +inf before the weight-round fire check, so the
+    ``robust_opt_inner_tol`` clause could never be satisfied and
+    convergence-gated GNC weight rounds only fired at the cadence cap.
+    Both fused runner generations must fire on the tolerance clause (well
+    before the cadence) and complete all weight rounds."""
+    import jax.numpy as jnp
+
+    data = load_g2o_dataset("tinyGrid3D", num_robots=1)
+    data, _ = inject_outliers(data, frac=0.2, seed=3)
+    prob = LiftedProblem.from_data(data, r=5, dtype=jnp.float32)
+    cfg = AgentConfig(
+        num_robots=1,
+        local_initialization_method=InitMethod.ODOMETRY,
+        robust_cost_type=RobustCostType.GNC_TLS,
+        GNC_use_probability=False,
+        GNC_barc=3.0,
+        robust_opt_num_weight_updates=2,
+        robust_opt_inner_iters_per_robot=20,
+        robust_opt_inner_tol=0.5,
+        relative_change_tolerance=1e-3,
+        RTR_gradnorm_tol=0.5,
+        max_iteration_number=60,
+        use_fused_kernel=True,
+        dtype="float32",
+    )
+    cadence = cfg.robust_opt_inner_iters_per_robot * cfg.num_robots
+    results = {}
+    for flag in ("1", "0"):  # multistep runner vs per-step runner
+        monkeypatch.setenv("DPGO_FUSED_MULTISTEP", flag)
+        eng = RBCDEngine(prob, cfg)
+        st0 = eng.initialize()
+        st, _, ev = eng.make_fused_run(60, record=True)(st0)
+        results[flag] = (int(st.weight_update_count), np.flatnonzero(ev))
+    for flag, (wuc, fires) in results.items():
+        assert wuc == 2, (flag, wuc)
+        assert fires.size >= 1 and fires[0] < cadence, (flag, fires)
+
+
 @pytest.mark.parametrize("rtype", [RobustCostType.TLS, RobustCostType.GM,
                                    RobustCostType.HUBER])
 @pytest.mark.slow
