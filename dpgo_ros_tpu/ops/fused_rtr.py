@@ -84,7 +84,11 @@ MAX_DIAGS = 16  # diagonal (lane-shift) loop-closure classes per problem
 # solver state — so cap the table itself at ~30 MB
 TABLE_VMEM_BUDGET = 30 * 2**20
 _STATS_W = 128  # stats row width; layout below
-# stats layout: [0]=f0 [1]=f_opt [2]=gn0 [3]=gn_opt [4]=iters
+# stats layout (single-solve): [0]=f0 [1]=f_opt [2]=gn0 [3]=gn_opt
+#   [4]=TR iters [5]=total tCG iterations executed (Hessian applications —
+#   the work unit of the roofline slope; work-normalized reporting)
+# stats layout (multi-step runner): [0]=cost [1]=iteration [2]=steps this
+#   launch [3]=total tCG iterations this launch
 _S_MOVED = 8  # [8 : 8+R]   per-robot block Frobenius displacement
 _S_UPD = 64  # [64 : 64+R]  per-robot "was updated" flag (mask coverage)
 MAX_ROBOTS = _S_UPD - _S_MOVED  # stats-row capacity
@@ -907,8 +911,10 @@ def make_rtr_solve(
 
             init = (Zr, Zr, r0, z0, -z0, r_z0,
                     jnp.zeros((), jnp.int32), r0n <= 0.0)
-            eta, Heta, *_ = jax.lax.while_loop(cond, body, init)
-            return eta, Heta, g
+            eta, Heta, _, _, _, _, ktcg, _ = jax.lax.while_loop(
+                cond, body, init
+            )
+            return eta, Heta, g, ktcg
 
         # ---- trust-region outer loop ------------------------------------
         G0, f0 = egrad_and_cost(X0)
@@ -916,14 +922,14 @@ def make_rtr_solve(
         gn0 = jnp.sqrt(jnp.maximum(inner(g0, g0), 0.0))
 
         def tr_cond(s):
-            Xv, G, f, radius, k, gn, done = s
+            Xv, G, f, radius, k, gn, done, ktot = s
             return jnp.logical_and(
                 jnp.logical_not(done), k < max_iterations
             )
 
         def tr_body(s):
-            Xv, G, f, radius, k, gn, done = s
-            eta, Heta, g = tcg(Xv, G, radius)
+            Xv, G, f, radius, k, gn, done, ktot = s
+            eta, Heta, g, ktcg = tcg(Xv, G, radius)
             pred = -(inner(g, eta) + 0.5 * inner(eta, Heta))
             X_try = retract(Xv, eta)
             G_try, f_try = egrad_and_cost(X_try)
@@ -947,18 +953,19 @@ def make_rtr_solve(
             gn_new = jnp.sqrt(jnp.maximum(inner(gN, gN), 0.0))
             return (
                 X_new, G_new, f_new, radius_new, k + 1, gn_new,
-                gn_new <= gradnorm_tol,
+                gn_new <= gradnorm_tol, ktot + ktcg,
             )
 
         init = (
             X0, G0, f0,
             jnp.asarray(initial_radius, jnp.float32),
             jnp.zeros((), jnp.int32), gn0, gn0 <= gradnorm_tol,
+            jnp.zeros((), jnp.int32),
         )
-        Xf, Gf, ff, _, kf, gnf, _ = jax.lax.while_loop(
+        Xf, Gf, ff, _, kf, gnf, _, ktcg_tot = jax.lax.while_loop(
             tr_cond, tr_body, init
         )
-        return Xf, f0, ff, gn0, gnf, kf
+        return Xf, f0, ff, gn0, gnf, kf, ktcg_tot
 
     return solve
 
@@ -1034,11 +1041,12 @@ def _make_rtr_kernel(
             initial_radius, max_radius, tcg_kappa, tcg_theta,
         )
         X0 = xt_ref[:]
-        Xf, f0, ff, gn0, gnf, kf = solve(X0, mask)
+        Xf, f0, ff, gn0, gnf, kf, ktcg = solve(X0, mask)
         xout_ref[:] = Xf
 
         # ---- stats row (scalar VMEM stores are illegal: build via selects) --
-        vals = {0: f0, 1: ff, 2: gn0, 3: gnf, 4: kf.astype(jnp.float32)}
+        vals = {0: f0, 1: ff, 2: gn0, 3: gnf, 4: kf.astype(jnp.float32),
+                5: ktcg.astype(jnp.float32)}
         D = (Xf - X0) * mask
         for rb in range(num_robots):
             o, nk = offsets[rb], num_poses[rb]
@@ -1198,8 +1206,17 @@ def _make_rtr_multistep_kernel(
     use_inner_tol: bool,
     inner_tol: float,
     record: bool,
+    rgd_stepsize: float = 0.0,
 ):
     """One Pallas kernel running MANY solver steps (round-4 top perf item).
+
+    ``rgd_stepsize > 0`` replaces each scheduled step's trust-region block
+    solve with ONE preconditioned Riemannian-gradient tick (the ASAPP
+    update rule, mirroring ``ops/fused_asapp.py``) — the staleness-robust
+    step used by the SPMD stretch mode (``parallel/spmd.py``): full block
+    solves against S-step-stale separators diverge (measured, round 5),
+    small RGD steps under bounded staleness are exactly the ASAPP regime
+    (reference ``launch/asapp_demo.launch``).
 
     The round-3 fused runner paid ~480 µs per step for ~60 µs of kernel
     device time: each `lax.while_loop` iteration re-launched the Mosaic
@@ -1293,16 +1310,26 @@ def _make_rtr_multistep_kernel(
         neg1 = jnp.full((1, _REL_W), -1.0, jnp.float32)
 
         def step_cond(s):
-            Xt, it, cost, rel, relh, stop = s
+            Xt, it, cost, rel, relh, stop, tcga = s
             return jnp.logical_and(jnp.logical_not(stop), it < it_cap)
 
         def step_body(s):
-            Xt, it, cost, rel, relh, stop = s
+            Xt, it, cost, rel, relh, stop, tcga = s
             m_idx = sched_ref[0, it]
             mask = rowsum(
                 mrows * (iota_m == m_idx).astype(jnp.float32)
             )  # (1, n_pad)
-            Xf, f0, ff, gn0, gnf, kf = solve(Xt, mask)
+            if rgd_stepsize > 0:
+                # ASAPP tick: one preconditioned projected-gradient step
+                # (mirrors ops/fused_asapp.py lines 153-161)
+                G, _f = alg.egrad_and_cost(Xt, with_f=False)
+                gb = mask * alg.proj(Xt, G)
+                gb = mask * alg.proj(Xt, alg.precond(gb))
+                Xf = alg.retract(Xt, -rgd_stepsize * gb)
+                ff = cost
+                ktcg = jnp.asarray(1, jnp.int32)
+            else:
+                Xf, f0, ff, gn0, gnf, kf, ktcg = solve(Xt, mask)
             # restore unmasked lanes exactly (NS retraction renormalizes
             # all lanes; drift outside the block must not accumulate)
             Xt2 = Xt + (Xf - Xt) * mask
@@ -1343,7 +1370,7 @@ def _make_rtr_multistep_kernel(
                 )
             else:
                 stop2 = ready
-            return Xt2, it2, ff, rel2, relh, stop2
+            return Xt2, it2, ff, rel2, relh, stop2, tcga + ktcg
 
         if record:
             relh0 = jnp.full(
@@ -1360,9 +1387,12 @@ def _make_rtr_multistep_kernel(
             stop0 = jnp.logical_and(ready0, gnc_pending == 0)
         else:
             stop0 = ready0
-        Xt_f, it_f, cost_f, rel_f, relh_f, _ = jax.lax.while_loop(
+        Xt_f, it_f, cost_f, rel_f, relh_f, _, tcg_f = jax.lax.while_loop(
             step_cond, step_body,
-            (xt_ref[:], it0, cost0, rel_in, relh0, stop0),
+            (
+                xt_ref[:], it0, cost0, rel_in, relh0, stop0,
+                jnp.zeros((), jnp.int32),
+            ),
         )
         xout_ref[:] = Xt_f
         relout_ref[:] = rel_f
@@ -1372,6 +1402,7 @@ def _make_rtr_multistep_kernel(
             0: cost_f,
             1: it_f.astype(jnp.float32),
             2: (it_f - it0).astype(jnp.float32),
+            3: tcg_f.astype(jnp.float32),
         }
         stats = jnp.zeros((1, _STATS_W), jnp.float32)
         iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, _STATS_W), 1)
@@ -1458,6 +1489,7 @@ def rtr_run_fused(
     consts=None,
     wins: Optional[jnp.ndarray] = None,
     oh: Optional[jnp.ndarray] = None,
+    rgd_stepsize: float = 0.0,
 ):
     """Run up to ``it_cap − it0`` solver steps inside ONE kernel launch.
 
@@ -1493,6 +1525,7 @@ def rtr_run_fused(
         inner_tol is not None,
         float(inner_tol if inner_tol is not None else 0.0),
         bool(record),
+        float(rgd_stepsize),
     )
     cs = consts if consts is not None else kg.constants()
     idx2, Rc, tc, Rl, tl, d2R, d2t = cs

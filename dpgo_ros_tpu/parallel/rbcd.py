@@ -1070,7 +1070,10 @@ class RBCDEngine:
             jnp.asarray(x) for x in (kwc, twc, kwl, twl, kwd, twd)
         )
 
-    def _make_fused_run_multi(self, max_iters: int, record: bool = False):
+    def _make_fused_run_multi(
+        self, max_iters: int, record: bool = False,
+        return_stats: bool = False,
+    ):
         """Multi-step-kernel runner (round 4): the ENTIRE stretch of solver
         steps between GNC weight rounds — or the whole run for non-robust
         costs — executes inside ONE Pallas kernel launch
@@ -1183,11 +1186,12 @@ class RBCDEngine:
                 (Xt2, rel2, stats), relh = out, None
             it2 = stats[0, 1].astype(jnp.int32)
             cost2 = stats[0, 0].astype(self.dtype)
-            return Xt2, it2, cost2, rel2, relh
+            tcg2 = stats[0, 3].astype(jnp.int32)
+            return Xt2, it2, cost2, rel2, relh, tcg2
 
         def do_round(carry):
             (Xt, it, cost, rel_row, weights, fixed, mu, wuc, last_wu,
-             cache, rel_h, ev_h, Xt_init) = carry
+             cache, rel_h, ev_h, Xt_init, tcg_tot) = carry
             wu_fired = jnp.asarray(False)
             if gnc:
                 def wu(args):
@@ -1262,10 +1266,11 @@ class RBCDEngine:
                 else jnp.asarray(False)
             )
             it_wu = it  # weight rounds don't advance the iteration counter
-            Xt, it, cost, rel_row, relh = launch(
+            Xt, it, cost, rel_row, relh, tcg2 = launch(
                 Xt, it, cost, rel_row, cache,
                 last_wu, jnp.asarray(pending),
             )
+            tcg_tot = tcg_tot + tcg2
             if record:
                 # merge this launch's history rows (untouched rows = NaN)
                 rel_h = jnp.where(jnp.isnan(relh), rel_h, relh)
@@ -1277,7 +1282,7 @@ class RBCDEngine:
                     )
             return (
                 Xt, it, cost, rel_row, weights, fixed, mu, wuc, last_wu,
-                cache, rel_h, ev_h, Xt_init,
+                cache, rel_h, ev_h, Xt_init, tcg_tot,
             )
 
         def cond_fn(carry):
@@ -1375,6 +1380,7 @@ class RBCDEngine:
                     stats[0, 0].astype(self.dtype),
                     stats[0, 1].astype(jnp.int32),
                     rel_row[0, :R].astype(self.dtype),
+                    stats[0, 3].astype(jnp.int32),  # total tCG iters
                 )
 
             def run(st: RBCDState):
@@ -1393,19 +1399,23 @@ class RBCDEngine:
                     Xt2, rel2, stats, relh = out
                 else:
                     Xt2, rel2, stats = out
-                X, cost, it, rel_vec = post(Xt2, rel2, stats)
+                X, cost, it, rel_vec, tcg = post(Xt2, rel2, stats)
                 state = RBCDState(
                     X=X, X_prev=X, V=X, theta=st.theta, iteration=it,
                     cost=cost, rel_change=rel_vec, weights=st.weights,
                     fixed_mask=st.fixed_mask, mu=st.mu,
                     weight_update_count=st.weight_update_count,
                 )
+                extras = []
                 if record:
-                    return (
-                        state,
+                    extras += [
                         relh[:max_iters, :R].astype(self.dtype),
                         ev_zero,
-                    )
+                    ]
+                if return_stats:
+                    extras.append(tcg)
+                if extras:
+                    return (state, *extras)
                 return state
 
             return run
@@ -1432,10 +1442,11 @@ class RBCDEngine:
                 Xt0, st.iteration, st.cost, rel_row0, st.weights,
                 st.fixed_mask, st.mu, st.weight_update_count,
                 st.iteration, cache, rel_h, ev_h, Xt0,
+                jnp.asarray(0, jnp.int32),
             )
             (
                 Xt, it, cost, rel_row, weights, fixed, mu, wuc, _, _,
-                rel_h, ev_h, _,
+                rel_h, ev_h, _, tcg_tot,
             ) = jax.lax.while_loop(cond_fn, do_round, carry)
             X = fused_rtr.from_t(Xt, prob.n, prob.r, prob.d + 1)
             out = RBCDState(
@@ -1445,17 +1456,24 @@ class RBCDEngine:
                 weights=weights,
                 fixed_mask=fixed, mu=mu, weight_update_count=wuc,
             )
+            extras = []
             if record:
-                return (
-                    out,
+                extras += [
                     rel_h[:max_iters, :R].astype(self.dtype),
                     ev_h,
-                )
+                ]
+            if return_stats:
+                extras.append(tcg_tot)
+            if extras:
+                return (out, *extras)
             return out
 
         return run
 
-    def make_fused_run(self, max_iters: int, record: bool = False):
+    def make_fused_run(
+        self, max_iters: int, record: bool = False,
+        return_stats: bool = False,
+    ):
         """Return a jitted runner executing the FULL solve as one XLA program
         (`lax.while_loop` over block updates with on-device termination and
         GNC weight rounds under `lax.cond`) — the TPU-native hot path: zero
@@ -1474,6 +1492,11 @@ class RBCDEngine:
         on-device (the reference's per-iteration CSV telemetry fields,
         ``src/PGOAgentROS.cpp:853-907``; rows past the final iteration are
         NaN/0).
+
+        With ``return_stats=True`` (multi-step fused paths only) the runner
+        additionally returns the in-kernel total-tCG-iteration counter — the
+        work-normalized throughput denominator (Hessian applications, the
+        roofline slope's work unit). Appended after the record outputs.
         """
         if self._use_fused and not self.config.acceleration:
             import os
@@ -1490,10 +1513,20 @@ class RBCDEngine:
             ) and multistep_ok:
                 # round-4 fast path: the step loop lives IN the kernel —
                 # one launch per GNC stretch (see _make_fused_run_multi)
-                return self._make_fused_run_multi(max_iters, record)
+                return self._make_fused_run_multi(
+                    max_iters, record, return_stats
+                )
             # round-3 path: one kernel launch per step, state kept in the
             # kernel's transposed layout (see _make_fused_run_t)
+            if return_stats:
+                raise ValueError(
+                    "return_stats requires the multi-step fused runner"
+                )
             return self._make_fused_run_t(max_iters, record)
+        if return_stats:
+            raise ValueError(
+                "return_stats requires the multi-step fused runner"
+            )
         cfg = self.config
         prob = self.problem
         gnc = cfg.robust_cost_type != RobustCostType.L2  # any robust cost

@@ -289,6 +289,8 @@ def build_spmd_step(
     )
     M, n_max = sp.M, sp.n_max
     gnc = cfg.robust_cost_type == RobustCostType.GNC_TLS
+    S = max(1, int(getattr(cfg, "spmd_steps_per_launch", 1)))
+    stretch_rgd = getattr(cfg, "spmd_stretch_rgd_stepsize", None)
 
     # --- fused single-Pallas-kernel local solve (ops/fused_rtr.py) --------
     # Per-device KernelGraphs over the GLOBAL gathered pose space share one
@@ -393,6 +395,21 @@ def build_spmd_step(
             kg_consts["kg_oh"] = np.stack(
                 [k.oh_table_np() for k in kgs]
             )
+    # multi-step stretch (round 5): S solver steps per kernel launch per
+    # mesh slot — requires the fused kernel and a per-slot robot row in the
+    # kernel's stats machinery (one slot = one "robot" at offset m*n_max)
+    from dpgo_ros_tpu.ops.fused_rtr import MAX_ROBOTS as _MAXR, _REL_W
+
+    if S > 1 and (not use_fused or M > _MAXR):
+        S = 1
+    kg_ms = None
+    if use_fused and S > 1:
+        kg_ms = dataclasses.replace(
+            kg0,
+            num_robots=M,
+            offsets=tuple(int(m * n_max) for m in range(M)),
+            num_poses=(int(n_max),) * M,
+        )
 
     # Static per-device tensors, device_put as *global* sharded arrays and
     # passed as jit arguments (NOT closed over: closing over an array that
@@ -444,11 +461,28 @@ def build_spmd_step(
         )
         # --- masked local solve ------------------------------------------
         my_color = c["color"][0]
-        active = (my_color == step_idx % sp.num_colors).astype(Xg.dtype)
-        own = jnp.zeros((M * n_max,), Xg.dtype)
-        own = jax.lax.dynamic_update_slice(
-            own, c["pose_valid"][0] * active, (start,)
+        if S > 1:
+            # stretch mode: S steps execute IN the kernel against
+            # stretch-start separators (bounded staleness <= S-1, the
+            # reference maxDelayedIterations / ASAPP semantics);
+            # ``active`` = "this slot updates at some step of the stretch".
+            # RGD stretches update every step (ASAPP parallel updates);
+            # RTR stretches keep the colored schedule (exact on an M=1
+            # mesh where there is nothing to be stale against).
+            gsteps = step_idx * S + jnp.arange(S, dtype=jnp.int32)
+            if stretch_rgd is not None:
+                act_steps = jnp.ones((S,), jnp.bool_)
+            else:
+                act_steps = my_color == jnp.mod(gsteps, sp.num_colors)
+            active = jnp.max(act_steps.astype(Xg.dtype))
+        else:
+            act_steps = None
+            active = (my_color == step_idx % sp.num_colors).astype(Xg.dtype)
+        own_full = jnp.zeros((M * n_max,), Xg.dtype)
+        own_full = jax.lax.dynamic_update_slice(
+            own_full, c["pose_valid"][0], (start,)
         )
+        own = own_full * active
         mask = own[:, None, None]
         P_blocks = quadratic.precond_inverse(
             quadratic.precond_blocks(e, M * n_max)
@@ -456,29 +490,64 @@ def build_spmd_step(
 
         def local_solve(Xfull):
             """Masked RTR on the gathered state: fused Pallas kernel when
-            enabled, XLA ops otherwise."""
+            enabled (one multi-step launch in stretch mode), XLA ops
+            otherwise."""
             if not use_fused:
                 Z, _ = rtr_solve(Xfull, e, mask, P_blocks, rtr)
                 return Z
             Xt = fused_rtr.to_t(Xfull, kg0.n_pad)
-            mrow = fused_rtr.mask_to_row(mask, kg0.n_pad)
             pinvT = fused_rtr.pinv_to_t(P_blocks, kg0.n_pad)
             wrows = fused_rtr.weight_rows_gather(
                 e.kappa, e.tau, e.mask, e.weight,
                 c["kg_cel"][0], c["kg_les"][0], c["kg_del"][0],
                 kg0.n_pad,
             )
-            Xt_new, _ = fused_rtr.rtr_solve_fused(
-                Xt, mrow, pinvT, wrows, kg0, rtr,
-                interpret=interp_fused,
-                consts=(
-                    c["kg_idx2"][0], c["kg_cR"][0], c["kg_ct"][0],
-                    c["kg_lR"][0], c["kg_lt"][0],
-                    c["kg_d2R"][0], c["kg_d2t"][0],
-                ),
-                wins=c["kg_wins"][0],
-                oh=c["kg_oh"][0] if spmd_tabled else None,
+            kconsts = (
+                c["kg_idx2"][0], c["kg_cR"][0], c["kg_ct"][0],
+                c["kg_lR"][0], c["kg_lt"][0],
+                c["kg_d2R"][0], c["kg_d2t"][0],
             )
+            if S > 1:
+                # bank row 1 = my full block, row 0 = zeros; the SMEM
+                # schedule selects row 1 exactly on my color's turns —
+                # S=1 semantics recovered step-for-step, separators frozen
+                # at the launch boundary
+                own_row = fused_rtr.mask_to_row(
+                    own_full[:, None, None], kg_ms.n_pad
+                )
+                iota_r = jnp.arange(8, dtype=jnp.int32)[:, None]
+                mrows = jnp.where(iota_r == 1, own_row, 0.0)
+                sched_row = act_steps.astype(jnp.int32)[None, :]
+                rel0 = jnp.where(
+                    jnp.arange(_REL_W, dtype=jnp.int32)[None, :] < M,
+                    1.0,
+                    -1.0,
+                ).astype(jnp.float32)
+                adj0 = jnp.zeros((_REL_W, _REL_W), jnp.float32)
+                scal = jnp.zeros((1, 8), jnp.int32)
+                cost0 = jnp.zeros((1, 1), jnp.float32)
+                Xt_new, _, _ = fused_rtr.rtr_run_fused(
+                    Xt, mrows, pinvT, wrows, kg_ms, rtr,
+                    adj_pad=adj0, rel0=rel0, sched=sched_row,
+                    scal=scal, cost0=cost0, it_cap=S, tol=0.0,
+                    gnc=False, inner=S, inner_tol=None,
+                    interpret=interp_fused,
+                    consts=kconsts,
+                    wins=c["kg_wins"][0],
+                    oh=c["kg_oh"][0] if spmd_tabled else None,
+                    rgd_stepsize=(
+                        float(stretch_rgd) if stretch_rgd else 0.0
+                    ),
+                )
+            else:
+                mrow = fused_rtr.mask_to_row(mask, kg0.n_pad)
+                Xt_new, _ = fused_rtr.rtr_solve_fused(
+                    Xt, mrow, pinvT, wrows, kg0, rtr,
+                    interpret=interp_fused,
+                    consts=kconsts,
+                    wins=c["kg_wins"][0],
+                    oh=c["kg_oh"][0] if spmd_tabled else None,
+                )
             Z = fused_rtr.from_t(Xt_new, M * n_max, sp.r, sp.d + 1)
             return jnp.where(mask > 0, Z, Xfull)
 
@@ -614,7 +683,7 @@ def build_spmd_step(
             X_prev=X_prev_own[None],
             V=V_own_new[None],
             theta=jnp.asarray(theta_out)[None, None],
-            iteration=st.iteration + 1,
+            iteration=st.iteration + S,
             rel_change=jnp.asarray(rc)[None, None],
             weights=w[None],
             mu=jnp.asarray(mu)[None, None],

@@ -194,6 +194,23 @@ class AgentConfig:
     # (enabled on a TPU backend with fp32 + RTR); False forces the XLA path;
     # True forces the kernel (interpreter mode off-TPU — tests only)
     use_fused_kernel: Optional[bool] = None
+    # SPMD mesh program: solver steps executed INSIDE one kernel launch per
+    # mesh slot between separator all_gathers (parallel/spmd.py). S > 1 =
+    # each device runs S color-scheduled block updates against
+    # stretch-start separators — exactly the bounded-staleness semantics of
+    # the reference's maxDelayedIterations / ASAPP modes
+    # (``include/dpgo_ros/PGOAgentROS.h:62-63``), amortizing per-launch
+    # overhead S-fold. 1 = the per-step program (exact colored RBCD).
+    # Requires the fused kernel; silently 1 on the XLA fallback path.
+    spmd_steps_per_launch: int = 1
+    # Stretch step rule: None = trust-region block solves on the in-kernel
+    # schedule (EXACT when the mesh has one slot — no staleness; measured
+    # to diverge from cold inits on multi-slot meshes, where simultaneous
+    # full block solves against stale separators are a Jacobi overshoot);
+    # a float = preconditioned Riemannian-gradient ticks of that stepsize
+    # (the ASAPP update rule — staleness-robust, the multi-slot default
+    # choice; reference ``launch/asapp_demo.launch`` stepsize 0.2).
+    spmd_stretch_rgd_stepsize: Optional[float] = None
 
     def resolve(self) -> "AgentConfig":
         """Apply the reference's derived-parameter rules

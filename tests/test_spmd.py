@@ -27,10 +27,10 @@ from dpgo_ros_tpu.utils.config import (
 def _setup(num_robots, **cfg_kw):
     data = load_g2o_dataset("smallGrid3D", num_robots=num_robots)
     prob = LiftedProblem.from_data(data, r=5, dtype=jnp.float32)
+    cfg_kw.setdefault("local_initialization_method", InitMethod.ODOMETRY)
     cfg = AgentConfig(
         num_robots=num_robots,
         update_rule=UpdateRule.PARALLEL,
-        local_initialization_method=InitMethod.ODOMETRY,
         RTR_gradnorm_tol=0.5,
         dtype="float32",
         **cfg_kw,
@@ -108,6 +108,56 @@ def test_spmd_gnc_weight_round():
         quadratic.cost(jnp.asarray(Xg), eng._edges(jnp.asarray(wg)))
     )
     assert np.isfinite(f_final)
+
+
+def test_spmd_stretch_single_device_matches_per_step():
+    """Round 5 (VERDICT r4 #2): S=1 ≡ stretch equivalence pin. On an M=1
+    mesh the in-kernel stretch sees no stale separators (its own block is
+    the whole gathered state and evolves in-kernel), so 2 launches of
+    ``spmd_steps_per_launch=4`` must reproduce 8 per-step launches up to
+    the kernel's per-step mask-restore ULP difference."""
+    data, prob, eng, st0, sp, st_a, step_a = _setup(
+        1, use_fused_kernel=True
+    )
+    data2, prob2, eng2, st02, sp2, st_b, step_b = _setup(
+        1, use_fused_kernel=True, spmd_steps_per_launch=4
+    )
+    for it in range(8):
+        st_a = step_a(np.int32(it), np.int32(0), st_a)
+    for lt in range(2):
+        st_b = step_b(np.int32(lt), np.int32(0), st_b)
+    assert int(np.asarray(st_a.iteration)[0, 0]) == 8
+    assert int(np.asarray(st_b.iteration)[0, 0]) == 8
+    Xa = gather_trajectory(sp, st_a, prob.num_poses)
+    Xb = gather_trajectory(sp2, st_b, prob2.num_poses)
+    fa = float(quadratic.cost(jnp.asarray(Xa), eng._edges(st0.weights)))
+    fb = float(quadratic.cost(jnp.asarray(Xb), eng2._edges(st02.weights)))
+    assert fb == pytest.approx(fa, rel=2e-3)
+    np.testing.assert_allclose(Xb, Xa, rtol=5e-3, atol=5e-3)
+
+
+def test_spmd_stretch_converges_multi_device():
+    """4 robots with S=16 RGD ticks per kernel launch: separators are up
+    to 15 ticks stale inside a stretch — the ASAPP bounded-staleness
+    regime (small preconditioned gradient steps tolerate staleness; full
+    trust-region block solves do NOT — measured to diverge, which is why
+    multi-slot stretches use ``spmd_stretch_rgd_stepsize``). Must converge
+    to the centralized optimum."""
+    data, prob, eng, st0, sp, st, step = _setup(
+        4,
+        use_fused_kernel=True,
+        local_initialization_method=InitMethod.CHORDAL,
+        spmd_steps_per_launch=16,
+        spmd_stretch_rgd_stepsize=0.2,
+    )
+    for lt in range(32):  # 512 RGD ticks in 32 launches
+        st = step(np.int32(lt), np.int32(0), st)
+    assert int(np.asarray(st.iteration)[0, 0]) == 512
+    Xg = gather_trajectory(sp, st, prob.num_poses)
+    f = float(
+        quadratic.cost(jnp.asarray(Xg, jnp.float64), eng._edges(st0.weights))
+    )
+    assert f < 1025.4 * 1.01
 
 
 @pytest.mark.slow
