@@ -33,6 +33,11 @@ sys.path.insert(
 
 import jax
 
+# this host injects a TPU PJRT plugin via sitecustomize that overrides
+# JAX_PLATFORMS; honor a virtual-host-device request in-process
+if "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
+    jax.config.update("jax_platforms", "cpu")
+
 platform = jax.default_backend()
 cache = "/tmp/jax_cache_tpu" if platform != "cpu" else "/tmp/jax_cache_cpu"
 os.makedirs(cache, exist_ok=True)
@@ -95,11 +100,16 @@ def measure(dataset, num_robots, num_devices, S, rgd, total_iters):
     # warm
     st = step(np.int32(0), np.int32(0), init)
     st.X.block_until_ready()
-    # timed: launches chain through the state
+    # timed: launches chain through the state. On the virtual CPU mesh,
+    # sync every launch — 8 rendezvous threads on 2 cores deadlock the
+    # in-process all_gather when long unsynced dispatch chains queue up.
+    sync_every = platform == "cpu"
     st = init
     t0 = time.perf_counter()
     for lt in range(launches):
         st = step(np.int32(lt), np.int32(0), st)
+        if sync_every:
+            st.X.block_until_ready()
     st.X.block_until_ready()
     dt = time.perf_counter() - t0
     iters = launches * S
@@ -125,10 +135,12 @@ def main():
         if "host_platform_device_count" not in flags:
             log("need XLA_FLAGS=--xla_force_host_platform_device_count=8")
     if platform != "cpu":
-        # flagship single-chip mesh: grouped sphere2500, M=1 (exact RTR)
+        # flagship single-chip mesh: grouped sphere2500, M=1 (exact RTR).
+        # 256 iterations so the one-time end-of-region sync (~26 ms on
+        # this runtime after gather poisoning) amortizes out of the rate.
         rows = []
-        for S in (1, 16, 64):
-            r = measure("sphere2500", 5, 1, S, None, 64)
+        for S in (1, 16, 64, 128):
+            r = measure("sphere2500", 5, 1, S, None, 256)
             log(f"M=1 sphere2500 RTR S={S}: {r}")
             rows.append(r)
         out["configs"]["sphere2500_M1_rtr"] = rows

@@ -142,19 +142,14 @@ def build(name, num_robots, r=5):
     return prob, kg
 
 
-def solve_time(prob, kg, params, reps=(4, 36)):
-    """Device time of one fused block solve (full mask) at given params.
-
-    The tunneled runtime floors every dispatch at ~0.9 ms wall, masking
-    sub-ms kernels — so R chained solves (Xt carried through, a true data
-    dependency) run inside ONE jitted fori_loop program and the per-solve
-    time is the slope between two R values. This is the same repetition-
-    delta methodology as the round-2 in-kernel measurements."""
+def _init_state(prob, kg, presteps=0):
+    """Chordal-init transposed state; with ``presteps`` > 0 the state is
+    advanced by that many reference-budget full-mask solves first — a
+    MID-SOLVE state where tCG curvature is positive (the parking-garage
+    chordal state exits on dHd <= 0 at the first tCG iteration, which
+    voided its round-4 row)."""
     from dpgo_ros_tpu.ops import chordal, quadratic, rounding, stiefel
 
-    # chordal-init state: near the optimum the Hessian is positive along CG
-    # directions, so the forced tCG budget actually executes (from a random
-    # X the dHd<=0 negative-curvature exit truncates the sweep)
     key = jax.random.PRNGKey(0)
     T0 = chordal.chordal_initialization(prob.edges, prob.n)
     T0 = rounding.anchor_to_first_pose(jnp.asarray(T0, jnp.float32))
@@ -174,30 +169,61 @@ def solve_time(prob, kg, params, reps=(4, 36)):
         if kg.loop_win_off is not None
         else None
     )
-
-    def chained(R):
-        def body(_, xt):
-            xt_new, _stats = fused_rtr.rtr_solve_fused(
-                xt, mrow, pt, wrows, kg, params, wins=wins
+    ctx = (mrow, pt, wrows, wins)
+    if presteps:
+        ref = RTRParams(
+            max_iterations=3, max_tcg_iterations=50, gradnorm_tol=0.5
+        )
+        for _ in range(presteps):
+            Xt, _ = fused_rtr.rtr_solve_fused(
+                Xt, mrow, pt, wrows, kg, ref, wins=wins
             )
-            return xt_new
-        return jax.jit(lambda xt: jax.lax.fori_loop(0, R, body, xt))
+        Xt.block_until_ready()
+    return Xt, ctx
 
-    def best_time(fn, arg):
-        out = fn(arg)
+
+def solve_time(prob, kg, params, state, reps=(8, 136), n_est=6):
+    """Per-solve device time at the given params, WITH an error bar.
+
+    The tunneled runtime floors every dispatch at ~0.9 ms wall, masking
+    sub-ms kernels — so R chained solves (Xt carried through, a true data
+    dependency) run inside ONE jitted program (R is a traced fori bound:
+    both rep counts share one compile) and the per-solve time is the
+    slope between the two R values. Round 5: the slope is estimated
+    ``n_est`` times from interleaved (t_lo, t_hi) pairs; the reported
+    value is the MEDIAN with the standard deviation as the error bar —
+    the round-4 single-difference estimate went negative on sub-noise
+    quantities and recorded physically impossible times."""
+    Xt, (mrow, pt, wrows, wins) = state
+
+    def body(_, xt):
+        xt_new, _stats = fused_rtr.rtr_solve_fused(
+            xt, mrow, pt, wrows, kg, params, wins=wins
+        )
+        return xt_new
+
+    @jax.jit
+    def chained(xt, R):
+        return jax.lax.fori_loop(0, R, body, xt)
+
+    def timed(R):
+        t0 = time.time()
+        out = chained(Xt, R)
         jax.block_until_ready(out)
-        ts = []
-        for _ in range(5):
-            t0 = time.time()
-            out = fn(arg)
-            jax.block_until_ready(out)
-            ts.append(time.time() - t0)
-        return min(ts)
+        return time.time() - t0
 
     r1, r2 = reps
-    t1 = best_time(chained(r1), Xt)
-    t2 = best_time(chained(r2), Xt)
-    return (t2 - t1) / (r2 - r1), float("nan")
+    # warm both rep counts (one compile; dispatch paths identical)
+    timed(r1)
+    timed(r2)
+    slopes = []
+    for _ in range(n_est):
+        t1 = timed(r1)
+        t2 = timed(r2)
+        slopes.append((t2 - t1) / (r2 - r1))
+    med = float(np.median(slopes))
+    std = float(np.std(slopes))
+    return med, std
 
 
 def _time_weight_round(prob):
@@ -261,6 +287,22 @@ def main():
     vpu_att = cal["vpu_attainable_flops"] if cal["valid"] else None
     if vpu_att:
         log(f"VPU attainable (measured): {vpu_att/1e12:.2f} TFLOP/s")
+    # round 5 (VERDICT r4 #4): SECOND independent witness — a Pallas
+    # coupled-map-lattice chain with a different op mix; the attainable
+    # denominator is only load-bearing if both witnesses agree within 2x
+    cal2 = measure_peaks.measure_vpu_cml()
+    out["vpu_cml_calibration"] = cal2
+    if vpu_att and cal2.get("valid") and cal2["vpu_attainable_flops"]:
+        ratio = cal2["vpu_attainable_flops"] / vpu_att
+        out["witness_agreement_ratio"] = round(ratio, 3)
+        out["two_witness_valid"] = bool(0.5 < ratio < 2.0)
+        log(
+            f"VPU attainable (2nd witness, CML): "
+            f"{cal2['vpu_attainable_flops']/1e12:.2f} TFLOP/s "
+            f"(agreement {ratio:.2f}x)"
+        )
+    else:
+        out["two_witness_valid"] = False
 
     for name, num_robots in [
         ("sphere2500", 5), ("cubicle", 2), ("torus3D", 2),
@@ -268,28 +310,37 @@ def main():
     ]:
         prob, kg = build(name, num_robots)
         a = analytic(kg, prob.r)
+        # parking-garage's chordal state exits tCG on negative curvature
+        # immediately (round-4 row was void); sweep from a MID-SOLVE state
+        presteps = 12 if name == "parking-garage" else 0
+        state = _init_state(prob, kg, presteps)
         ks = [1, 10, 50]
         times = {}
+        stds = {}
         for K in ks:
-            dt, it = solve_time(prob, kg, forced_params(K))
-            times[K] = dt
-            log(f"{name}: forced 3x{K} tCG -> {dt*1e3:.3f} ms (TR iters {it})")
+            dt, sd = solve_time(prob, kg, forced_params(K), state)
+            times[K], stds[K] = dt, sd
+            log(
+                f"{name}: forced 3x{K} tCG -> {dt*1e3:.3f} "
+                f"± {sd*1e3:.3f} ms"
+            )
         # per-tCG slope from the K sweep (3 TR iterations each)
         slope = (times[50] - times[1]) / (3 * (50 - 1))
+        slope_std = (stds[50] ** 2 + stds[1] ** 2) ** 0.5 / (3 * 49)
         intercept = times[1] - 3 * slope  # per-solve fixed + 3x(retract+trial)
-        # validity: the forced sweep only measures where tCG curvature
-        # stays positive — a dHd<=0 exit on the first iteration makes all
-        # budgets take the same time (parking-garage at its chordal
-        # state); require a monotone, clearly-positive slope
+        # validity (round 5): monotone positive sweep, every recorded time
+        # positive, and the slope resolved beyond its own 2-sigma error bar
         slope_valid = (
-            times[50] > times[10] > times[1]
+            times[50] > times[10] > times[1] > 0
             and slope > 0.05 * (times[50] / (3 * 50))
+            and slope > 2.0 * slope_std
         )
         # reference-budget solve (the bench config)
-        bench_dt, _ = solve_time(
+        bench_dt, bench_sd = solve_time(
             prob, kg,
             RTRParams(max_iterations=3, max_tcg_iterations=50,
                       gradnorm_tol=0.5),
+            state,
         )
         floor_tcg = a["tcg_vpu_flops"] / vpu + a["q_mxu_flops"] / V5E_MXU_BF16
         floor_att = (
@@ -303,10 +354,18 @@ def main():
         d = {
             **a,
             "slope_valid": slope_valid,
+            "sweep_state": (
+                f"mid-solve ({presteps} ref-budget presteps)"
+                if presteps
+                else "chordal"
+            ),
             "per_tcg_iter_measured_s": slope,
+            "per_tcg_iter_std_s": slope_std,
             "per_solve_intercept_s": intercept,
             "forced_times_s": {str(k): times[k] for k in ks},
+            "forced_times_std_s": {str(k): stds[k] for k in ks},
             "bench_budget_solve_s": bench_dt,
+            "bench_budget_solve_std_s": bench_sd,
             "per_tcg_floor_ideal_s": floor_tcg,
             "per_tcg_floor_tiled_s": floor_tcg / derate,
             "fraction_of_ideal": floor_tcg / slope,
@@ -327,9 +386,10 @@ def main():
             ):
                 d[k] = None
             d["slope_invalid_reason"] = (
-                "forced-budget sweep exits on negative curvature at this "
-                "dataset's chordal state (dHd<=0 on the first tCG "
-                "iteration) — all budgets cost the same, no slope exists"
+                "forced-budget sweep unresolved: either tCG exits on "
+                "negative curvature at this sweep state (all budgets cost "
+                "the same) or the slope did not clear its 2-sigma error "
+                "bar — no load-bearing slope exists"
             )
         if name == "tunnels":
             # GNC program accounting: the robust outer loop adds one
