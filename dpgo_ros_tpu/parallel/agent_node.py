@@ -61,6 +61,7 @@ from dpgo_ros_tpu.types import (
     MeasurementBatch,
     PoseGraphData,
 )
+from dpgo_ros_tpu.utils import hostmath
 from dpgo_ros_tpu.utils.config import (
     AgentConfig,
     InitMethod,
@@ -174,6 +175,7 @@ class PGOAgentNode:
         self._last_schedule_tick = 0
         self._init_barrier_steps = 0
         self._pending_poses: List[PublicPoses] = []
+        self._pose_map_cache: Dict = {}
         self._deactivated_by_protocol: set = set()
         self._edge_mask_cache = None
         self._separator_ids_cache = None
@@ -244,13 +246,16 @@ class PGOAgentNode:
             self.logger.log_event("CONNECTIVITY_CHANGE")
 
     def trajectory_world(self) -> Optional[np.ndarray]:
-        """Own block in the world frame (``getTrajectoryInGlobalFrame``)."""
+        """Own block in the world frame (``getTrajectoryInGlobalFrame``).
+        Numpy path: called on the per-tick protocol side, where eager jax
+        dispatch + per-shape compiles dominated the fleet sim (round 5,
+        utils/hostmath.py)."""
         if self.X is None or self.Ylift is None:
             return None
-        T = rounding.round_via_lifting(
-            self.X[: self.n_local], jnp.asarray(self.Ylift, self.dtype)
+        return hostmath.round_via_lifting_np(
+            np.asarray(self.X[: self.n_local]),
+            np.asarray(self.Ylift, self.np_dt),
         )
-        return np.asarray(T)
 
     # ------------------------------------------------------------- runOnce
 
@@ -496,6 +501,7 @@ class PGOAgentNode:
             np.int32,
         )
         self.neighbor_slots = slots
+        self._pose_map_cache = {}  # (sender, ids) → (rows, slots) memo
         is_loop = (m.edge_type != EdgeType.ODOMETRY) & (~m.fixed_weight)
         gnc = self.config.robust_cost_type == RobustCostType.GNC_TLS
         self.edges = EdgeSet(
@@ -631,9 +637,9 @@ class PGOAgentNode:
                 if f < nk - 1:
                     rel[f, :, :3] = sub.R[k]
                     rel[f, :, 3] = sub.t[k]
-            return np.asarray(
-                lie.odometry_chain(jnp.asarray(rel, self.dtype))
-            )
+            # numpy: a distinct-shape associative_scan compile per agent
+            # cost ~3 s each (round-5 fleet profile)
+            return hostmath.odometry_chain_np(rel.astype(self.np_dt))
         E = len(sub)
         es = EdgeSet(
             src=jnp.asarray(sub.src_frame.astype(np.int32)),
@@ -670,10 +676,8 @@ class PGOAgentNode:
             ) == self.n_local:
                 T_world = self.cached_trajectory
             else:
-                T_world = np.asarray(
-                    rounding.anchor_to_first_pose(
-                        jnp.asarray(T_local, self.dtype)
-                    )
+                T_world = hostmath.anchor_to_first_pose_np(
+                    np.asarray(T_local, self.np_dt)
                 )
             self._set_initialized(T_world)
             return
@@ -684,33 +688,44 @@ class PGOAgentNode:
                 continue
             a, fa = int(m.src_robot[k]), int(m.src_frame[k])
             b, fb = int(m.dst_robot[k]), int(m.dst_frame[k])
-            Me = np.concatenate([m.R[k], m.t[k][:, None]], axis=-1)
+            Me = np.concatenate([m.R[k], m.t[k][:, None]], axis=-1).astype(
+                self.np_dt
+            )
             if a == self.id and self._world_pose_known(b, fb):
                 # G T_local[fa] Me = T_world(b, fb)
                 Tn = self._world_pose(b, fb)
-                rhs = self._se(Tn, lie.se_inverse(jnp.asarray(Me, self.dtype)))
-                G = self._se(rhs, lie.se_inverse(jnp.asarray(T_local[fa], self.dtype)))
+                rhs = self._se(Tn, hostmath.se_inverse_np(Me))
+                G = self._se(
+                    rhs,
+                    hostmath.se_inverse_np(
+                        np.asarray(T_local[fa], self.np_dt)
+                    ),
+                )
             elif b == self.id and self._world_pose_known(a, fa):
                 # T_world(a, fa) Me = G T_local[fb]
                 Tn = self._world_pose(a, fa)
-                lhs = self._se(Tn, jnp.asarray(Me, self.dtype))
-                G = self._se(lhs, lie.se_inverse(jnp.asarray(T_local[fb], self.dtype)))
+                lhs = self._se(Tn, Me)
+                G = self._se(
+                    lhs,
+                    hostmath.se_inverse_np(
+                        np.asarray(T_local[fb], self.np_dt)
+                    ),
+                )
             else:
                 continue
-            T_world = np.asarray(
-                lie.se_compose(
-                    jnp.broadcast_to(
-                        jnp.asarray(G, self.dtype),
-                        (self.n_local, 3, 4),
-                    ),
-                    jnp.asarray(T_local, self.dtype),
-                )
+            T_world = hostmath.se_compose_np(
+                np.broadcast_to(
+                    np.asarray(G, self.np_dt), (self.n_local, 3, 4)
+                ),
+                np.asarray(T_local, self.np_dt),
             )
             self._set_initialized(T_world)
             return
 
     def _se(self, A, B):
-        return np.asarray(lie.se_compose(jnp.asarray(A, self.dtype), jnp.asarray(B, self.dtype)))
+        return hostmath.se_compose_np(
+            np.asarray(A, self.np_dt), np.asarray(B, self.np_dt)
+        )
 
     def _world_pose_known(self, robot: int, frame: int) -> bool:
         key = (robot, frame)
@@ -720,19 +735,17 @@ class PGOAgentNode:
 
     def _world_pose(self, robot: int, frame: int) -> np.ndarray:
         slot = self.neighbor_slots[(robot, frame)]
-        Xn = self.X[self.n_local + slot]
-        return np.asarray(
-            rounding.round_via_lifting(
-                Xn[None], jnp.asarray(self.Ylift, self.dtype)
-            )[0]
-        )
+        Xn = np.asarray(self.X[self.n_local + slot])
+        return hostmath.round_via_lifting_np(
+            Xn[None], np.asarray(self.Ylift, self.np_dt)
+        )[0]
 
     def _set_initialized(self, T_world: np.ndarray) -> None:
         ntot = self.n_local + len(self.neighbor_slots)
-        Y = jnp.asarray(self.Ylift, self.dtype)
+        Y = np.asarray(self.Ylift, self.np_dt)
         X = np.zeros((ntot, Y.shape[0], 4), self.np_dt)
-        X[: self.n_local] = np.asarray(
-            stiefel.lift_trajectory(jnp.asarray(T_world, self.dtype), Y)
+        X[: self.n_local] = hostmath.lift_trajectory_np(
+            np.asarray(T_world, self.np_dt), Y
         )
         # keep previously received neighbor poses
         if self.X is not None:
@@ -825,19 +838,32 @@ class PGOAgentNode:
             and msg.destination_robot_id != self.id
         ):
             return
-        # vectorized slot update: one scatter per message, not per pose
-        rows, slots = [], []
+        # vectorized slot update: one scatter per message, not per pose.
+        # The (sender, pose_ids) → (rows, slots) mapping is FIXED for the
+        # round (each robot's separator-id set never changes), so it is
+        # resolved once per sender and cached — the per-pose dict loop was
+        # ~20 % of the fleet sim's wall (round-5 profile, ~80k messages).
         pose_ids = np.asarray(msg.pose_ids)
-        for i in range(pose_ids.shape[0]):
-            key = (msg.robot_id, int(pose_ids[i]))
-            slot = self.neighbor_slots.get(key)
-            if slot is not None:
-                rows.append(i)
-                slots.append(slot)
-        if not rows:
+        ck = (msg.robot_id, pose_ids.shape[0], int(pose_ids[0]) if pose_ids.shape[0] else -1)
+        cached = self._pose_map_cache.get(ck)
+        if cached is not None and np.array_equal(cached[0], pose_ids):
+            rows, slots = cached[1], cached[2]
+        else:
+            rows_l, slots_l = [], []
+            for i in range(pose_ids.shape[0]):
+                slot = self.neighbor_slots.get(
+                    (msg.robot_id, int(pose_ids[i]))
+                )
+                if slot is not None:
+                    rows_l.append(i)
+                    slots_l.append(slot)
+            rows = np.asarray(rows_l, np.int64)
+            slots = np.asarray(slots_l, np.int64)
+            self._pose_map_cache[ck] = (pose_ids.copy(), rows, slots)
+        if rows.size == 0:
             return
-        idx = np.asarray(slots) + self.n_local
-        vals = np.asarray(msg.poses[np.asarray(rows)], self.np_dt)
+        idx = slots + self.n_local
+        vals = np.asarray(msg.poses[rows], self.np_dt)
         if msg.is_auxiliary:
             if self.V is not None:
                 self.V[idx] = vals
@@ -1017,23 +1043,25 @@ class PGOAgentNode:
             return
         m = self.measurements
         T_all = self._world_trajectory_with_neighbors()
-        e = dataclasses.replace(self.edges, mask=self._edge_mask())
-        r = np.asarray(robust.measurement_residuals(jnp.asarray(T_all, self.dtype), e))
+        emask_np = np.asarray(self._edge_mask())
+        r = hostmath.measurement_residuals_np(
+            T_all,
+            np.asarray(self.edges.src), np.asarray(self.edges.dst),
+            np.asarray(self.edges.R), np.asarray(self.edges.t),
+            np.asarray(self.edges.kappa), np.asarray(self.edges.tau),
+        )
         w = np.asarray(self.edges.weight).copy()
-        mu_j, barc_j = robust.gnc_round_params(
+        mu, barc = hostmath.gnc_round_params_np(
             self.weight_update_count,
             self.config,
             self.mu,
-            residuals=jnp.asarray(r),
-            loop_mask=self.edges.is_loop * self._edge_mask(),
+            residuals=r,
+            loop_mask=np.asarray(self.edges.is_loop) * emask_np,
         )
-        mu, barc = float(mu_j), float(barc_j)
         # vectorized: all TLS weights in one call; apply to edges this robot
         # owns (private, or shared with the lower-ID-owner rule), skipping
         # frozen weights (``fixedWeight``, reference ``PGOAgentROS.cpp:1049``)
-        w_all = np.asarray(
-            robust.gnc_tls_weights(jnp.asarray(r), jnp.asarray(mu), barc)
-        )
+        w_all = hostmath.gnc_tls_weights_np(r, mu, barc)
         is_loop = np.asarray(self.edges.is_loop) > 0
         a_ids = m.src_robot.astype(np.int64)
         b_ids = m.dst_robot.astype(np.int64)
@@ -1156,21 +1184,18 @@ class PGOAgentNode:
             return
         # G such that G T_local[0] = T_world[0]
         G = self._se(
-            jnp.asarray(Tw[0], self.dtype),
-            lie.se_inverse(jnp.asarray(T_local[0], self.dtype)),
+            Tw[0], hostmath.se_inverse_np(np.asarray(T_local[0], self.np_dt))
         )
-        T_world = np.asarray(
-            lie.se_compose(
-                jnp.broadcast_to(
-                    jnp.asarray(G, self.dtype), (self.n_local, 3, 4)
-                ),
-                jnp.asarray(T_local, self.dtype),
-            )
+        T_world = hostmath.se_compose_np(
+            np.broadcast_to(
+                np.asarray(G, self.np_dt), (self.n_local, 3, 4)
+            ),
+            np.asarray(T_local, self.np_dt),
         )
-        Y = jnp.asarray(self.Ylift, self.dtype)
-        Xown = stiefel.lift_trajectory(jnp.asarray(T_world, self.dtype), Y)
+        Y = np.asarray(self.Ylift, self.np_dt)
+        Xown = hostmath.lift_trajectory_np(T_world, Y)
         X = np.array(self.X)
-        X[: self.n_local] = np.asarray(Xown)
+        X[: self.n_local] = Xown
         self.X = X
         self.V = X.copy()
         self.X_prev = X.copy()
@@ -1179,9 +1204,9 @@ class PGOAgentNode:
         self.logger.log_event("ROBUST_RESET")
 
     def _world_trajectory_with_neighbors(self) -> np.ndarray:
-        ntot = self.n_local + len(self.neighbor_slots)
-        Y = jnp.asarray(self.Ylift, self.dtype)
-        return np.asarray(rounding.round_via_lifting(self.X, Y))
+        return hostmath.round_via_lifting_np(
+            np.asarray(self.X), np.asarray(self.Ylift, self.np_dt)
+        )
 
     # ------------------------------------------------------------ terminate
 
@@ -1199,11 +1224,12 @@ class PGOAgentNode:
                 self.X is not None and self.Ylift is not None
             ):
                 T_all = self._world_trajectory_with_neighbors()
-                e = dataclasses.replace(self.edges, mask=self._edge_mask())
-                r = np.asarray(
-                    robust.measurement_residuals(
-                        jnp.asarray(T_all, self.dtype), e
-                    )
+                r = hostmath.measurement_residuals_np(
+                    T_all,
+                    np.asarray(self.edges.src), np.asarray(self.edges.dst),
+                    np.asarray(self.edges.R), np.asarray(self.edges.t),
+                    np.asarray(self.edges.kappa),
+                    np.asarray(self.edges.tau),
                 )
                 w[und] = (r[und] <= self.config.GNC_barc).astype(float)
             else:
