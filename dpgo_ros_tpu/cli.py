@@ -578,7 +578,7 @@ def main(argv=None) -> int:
             ctl.restore_checkpoint(rp)
             print(f"fleet resumed warm-start caches from {rp}",
                   file=sys.stderr)
-        res = ctl.run()
+        res = ctl.run(snapshot=snap)
         if a.checkpoint_dir:
             ctl.save_checkpoint(
                 a.checkpoint_dir, meta={"ticks": res["ticks"]}

@@ -119,6 +119,82 @@ def _q_scale(e: EdgeSet, n: int) -> float:
 MARGIN_GUARD_BAND = 1e-7
 
 
+def s_sparse(X: jnp.ndarray, Lam: jnp.ndarray, e: EdgeSet):
+    """Assemble S = Q − Λ̂ as a HOST scipy CSR matrix (fp64).
+
+    Round 5 (VERDICT r4 #9): ARPACK needs hundreds-to-thousands of
+    matvecs, and each device-dispatched ``s_matvec`` through this
+    tunneled runtime pays ~26 ms of degraded sync — one parking-garage
+    certify cost 1,506 s wall (STAIRCASE_r04.json). S is block-sparse
+    with n + 2E blocks of (d+1)²; assembling it once and letting ARPACK
+    multiply on the host makes each matvec ~0.1 ms. Per edge (i, j) with
+    rotation R̃, translation t̃ and effective weights (κw, τw) the
+    quadratic form contributes
+
+        Q_ii = [[κw·R̃R̃ᵀ + τw·t̃t̃ᵀ, τw·t̃], [τw·t̃ᵀ, τw]]
+        Q_ij = [[−κw·R̃, −τw·t̃], [0, −τw]]      (Q_ji = Q_ijᵀ)
+        Q_jj = [[κw·I_d, 0], [0, τw]]
+
+    (identical block algebra to ``quadratic.precond_blocks`` /
+    ``RBCDEngine._host_cache_np``); Λ̂ subtracts Λᵢ on the Y-block of
+    pose i. Matches :func:`s_matvec` exactly (pinned in tests).
+    """
+    import scipy.sparse as sp
+
+    n, _, dp1 = X.shape
+    d = dp1 - 1
+    src = np.asarray(e.src)
+    dst = np.asarray(e.dst)
+    kw, tw = e.effective_weights()
+    kw = np.asarray(kw, np.float64)
+    tw = np.asarray(tw, np.float64)
+    R = np.asarray(e.R, np.float64)
+    t = np.asarray(e.t, np.float64)
+    E = src.shape[0]
+    B = dp1
+    I_d = np.eye(d)
+    RRt = np.einsum("eab,ecb->eac", R, R)
+    ttT = t[:, :, None] * t[:, None, :]
+    Zii = np.zeros((E, B, B))
+    Zii[:, :d, :d] = kw[:, None, None] * RRt + tw[:, None, None] * ttT
+    Zii[:, :d, d] = tw[:, None] * t
+    Zii[:, d, :d] = tw[:, None] * t
+    Zii[:, d, d] = tw
+    Zij = np.zeros((E, B, B))
+    Zij[:, :d, :d] = -kw[:, None, None] * R
+    Zij[:, :d, d] = -tw[:, None] * t
+    Zij[:, d, d] = -tw
+    Zjj = np.zeros((E, B, B))
+    Zjj[:, :d, :d] = kw[:, None, None] * I_d
+    Zjj[:, d, d] = tw
+    Zji = np.swapaxes(Zij, -1, -2)
+
+    a_idx = np.arange(B)
+    rows_blk = np.repeat(a_idx, B)[None, :]  # (1, B*B)
+    cols_blk = np.tile(a_idx, B)[None, :]
+    rows, cols, vals = [], [], []
+    for bi, bj, Z in (
+        (src, src, Zii), (src, dst, Zij), (dst, src, Zji), (dst, dst, Zjj)
+    ):
+        rows.append((bi[:, None] * B + rows_blk).ravel())
+        cols.append((bj[:, None] * B + cols_blk).ravel())
+        vals.append(Z.reshape(E, -1).ravel())
+    # −Λ̂ on the Y-block diagonal
+    Lam_np = np.asarray(Lam, np.float64)
+    pidx = np.arange(n)
+    ry = np.repeat(np.arange(d), d)[None, :]
+    cy = np.tile(np.arange(d), d)[None, :]
+    rows.append((pidx[:, None] * B + ry).ravel())
+    cols.append((pidx[:, None] * B + cy).ravel())
+    vals.append(-Lam_np.reshape(n, -1).ravel())
+    N = n * B
+    S = sp.coo_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(N, N),
+    ).tocsr()
+    return S
+
+
 def min_eig_lanczos(
     X: jnp.ndarray,
     Lam: jnp.ndarray,
@@ -127,6 +203,7 @@ def min_eig_lanczos(
     tol: float = 1e-6,
     maxiter: Optional[int] = None,
     sigma_boost: float = 1.0,
+    host_sparse: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Smallest eigenpair of S by *shifted* Lanczos (scipy ``eigsh``).
 
@@ -137,6 +214,10 @@ def min_eig_lanczos(
     ``which='LA'`` solve, then find λ_max(σI − S) = σ − λ_min(S) — the
     extreme-end target Lanczos is reliable for.
 
+    ``host_sparse`` (default) assembles S once as a host CSR matrix
+    (:func:`s_sparse`) instead of dispatching one device matvec per
+    Lanczos iteration — the 1,506 s → seconds fix for large certifies.
+
     Returns (eigvals ascending (k,), eigvecs (N, k)).
     """
     import scipy.sparse.linalg as sla
@@ -145,12 +226,19 @@ def min_eig_lanczos(
     N = n * dp1
     dtype = np.float64 if X.dtype == jnp.float64 else np.float32
 
-    mv = jax.jit(lambda v: s_matvec(v, X, Lam, e))
+    if host_sparse:
+        S_host = s_sparse(X, Lam, e).astype(dtype)
 
-    def s_apply(v):
-        # layout: v packs pose-major [Y cols | p]; (N,) -> (n, 1, d+1)
-        V = jnp.asarray(v, X.dtype).reshape(n, dp1)[:, None, :]
-        return np.asarray(mv(V)).reshape(N).astype(dtype)
+        def s_apply(v):
+            return S_host @ v.astype(dtype)
+
+    else:
+        mv = jax.jit(lambda v: s_matvec(v, X, Lam, e))
+
+        def s_apply(v):
+            # layout: v packs pose-major [Y cols | p]; (N,) -> (n, 1, d+1)
+            V = jnp.asarray(v, X.dtype).reshape(n, dp1)[:, None, :]
+            return np.asarray(mv(V)).reshape(N).astype(dtype)
 
     def top_eig(matvec):
         op = sla.LinearOperator((N, N), matvec=matvec, dtype=dtype)

@@ -58,7 +58,12 @@ class DistributedController:
             and tuple(sorted((robot_id, k))) not in part
         }
 
-    def run(self, max_ticks: int = 10_000) -> Dict:
+    def run(self, max_ticks: int = 10_000, snapshot=None) -> Dict:
+        """Tick the fleet to termination. ``snapshot`` (a
+        ``utils.snapshots.SnapshotWriter``) gets a rounded live global
+        trajectory + current GNC weights whenever one is due — the fleet
+        analog of the reference's continuous 30 s viz timer
+        (``src/PGOAgentROS.cpp:85-86,622-660``)."""
         from dpgo_ros_tpu.parallel.comm import LossyTransport
 
         feed_connectivity = isinstance(self.transport, LossyTransport)
@@ -69,6 +74,12 @@ class DistributedController:
                     if feed_connectivity:
                         a.set_connected_peers(self._connectivity(a.id))
                     a.runOnce()
+            if snapshot is not None and snapshot._due(t):
+                T = self._live_global_trajectory()
+                if T is not None:
+                    snapshot.snapshot(
+                        t, T, weights=self._live_global_weights()
+                    )
             if all(a.terminated for a in self.agents if not _is_dead(self.transport, a.id)):
                 break
         trajs = {
@@ -95,6 +106,38 @@ class DistributedController:
                 a.id: getattr(a, "final_weights", None) for a in self.agents
             },
         }
+
+    def _live_global_trajectory(self) -> Optional[np.ndarray]:
+        """Concatenated world trajectories of the LIVE agents (mid-run);
+        None until every non-dead agent is initialized. Only evaluated
+        when a snapshot is due (rounding every agent every tick would
+        dominate the tick)."""
+        parts = []
+        for a in self.agents:
+            if _is_dead(self.transport, a.id):
+                return None
+            T = a.trajectory_world()
+            if T is None:
+                return None
+            parts.append(T)
+        return np.concatenate(parts, axis=0)
+
+    def _live_global_weights(self) -> Optional[np.ndarray]:
+        """Current GNC weights mapped onto the global measurement batch
+        (lower-ID-owner rule) — the mid-run analog of
+        :meth:`global_weights`."""
+        live = {
+            a.id: (
+                np.asarray(a.edges.weight)
+                if a.edges is not None
+                else None
+            )
+            for a in self.agents
+        }
+        if all(w is None for w in live.values()):
+            return None
+        fake_result = {"weights": live}
+        return self.global_weights(fake_result, self.data.measurements)
 
     def start_new_round(self) -> None:
         """Begin another optimization instance: agents keep their warm-start

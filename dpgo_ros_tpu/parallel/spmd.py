@@ -110,6 +110,119 @@ def group_robots(data, num_groups: int):
     )
 
 
+def repartition_slots(data, num_slots: int):
+    """Work-balanced contiguous re-partition of the GLOBAL pose sequence
+    into ``num_slots`` slot blocks — SPLITS hot robots across mesh slots
+    and co-schedules cold ones (VERDICT r4 #6).
+
+    Dataset-fixed fleets (tunnels' per-robot CSV split,
+    ``params/robot_measurements.yaml``) pin the robot partition, so
+    ``--partition_balance work`` cannot help and the hottest robot bounds
+    the mesh step (tunnels@8 work skew 1.29 → projected efficiency 0.76,
+    SCALING_r03.json). The mesh does not care about robot identity — a
+    slot's masked block solve is correct for ANY contiguous pose range —
+    so this rebalances the slot boundaries directly: per-pose work
+    density = 1 + deg/2 (lane cost model of SCALING_r03), cut at the
+    work quantiles. The measurement set is unchanged (labels only), so
+    costs are partition-invariant; cross-slot edges become shared
+    (separator) loop closures exactly as in :func:`group_robots`.
+
+    Returns a new PoseGraphData with ``num_slots`` relabeled robots.
+    """
+    import numpy as _np
+
+    from dpgo_ros_tpu.types import EdgeType, MeasurementBatch, PoseGraphData
+
+    nR = data.num_robots
+    num_poses = _np.asarray(data.num_poses, _np.int64)
+    offs = _np.concatenate([[0], _np.cumsum(num_poses)])
+    n = int(offs[-1])
+    assert 1 <= num_slots <= n
+    mb = data.measurements
+    gsrc = offs[mb.src_robot] + mb.src_frame
+    gdst = offs[mb.dst_robot] + mb.dst_frame
+    # per-pose work density (lane-cost model of SCALING_r03: a block owns
+    # the edges whose SRC pose it holds): 1 + #edges sourced at the pose
+    w = _np.ones(n, _np.float64)
+    _np.add.at(w, gsrc, 1.0)
+    # min-max contiguous partition: binary-search the block capacity,
+    # greedy-fill blocks (the classic linear-partition scheme — quantile
+    # cuts overshoot when a few poses carry heavy loop-closure fan-out)
+    cw = _np.concatenate([[0.0], _np.cumsum(w)])
+
+    def blocks_for(cap):
+        bounds = [0]
+        while bounds[-1] < n:
+            s = bounds[-1]
+            # furthest e with sum(w[s:e]) <= cap, at least one pose
+            e = int(_np.searchsorted(cw, cw[s] + cap, side="right")) - 1
+            e = max(e, s + 1)
+            bounds.append(min(e, n))
+        return bounds
+
+    lo, hi = float(w.max()), float(w.sum())
+    for _ in range(60):
+        mid = 0.5 * (lo + hi)
+        if len(blocks_for(mid)) - 1 <= num_slots:
+            hi = mid
+        else:
+            lo = mid
+    bounds = blocks_for(hi)
+    # greedy may use fewer blocks than slots: split the heaviest blocks
+    while len(bounds) - 1 < num_slots:
+        loads = [
+            cw[bounds[k + 1]] - cw[bounds[k]]
+            for k in range(len(bounds) - 1)
+        ]
+        k = int(_np.argmax(
+            [ld if bounds[i + 1] - bounds[i] > 1 else -1.0
+             for i, ld in enumerate(loads)]
+        ))
+        mid_w = 0.5 * (cw[bounds[k]] + cw[bounds[k + 1]])
+        cut = int(_np.searchsorted(cw, mid_w))
+        cut = min(max(cut, bounds[k] + 1), bounds[k + 1] - 1)
+        bounds.insert(k + 1, cut)
+    bounds = _np.asarray(bounds, _np.int64)
+    slot_of = (
+        _np.searchsorted(bounds, _np.arange(n), side="right") - 1
+    ).astype(_np.int32)
+    start_of = bounds[:-1]
+    src_robot = slot_of[gsrc]
+    dst_robot = slot_of[gdst]
+    src_frame = (gsrc - start_of[src_robot]).astype(_np.int32)
+    dst_frame = (gdst - start_of[dst_robot]).astype(_np.int32)
+    same = src_robot == dst_robot
+    odo = same & (gsrc + 1 == gdst) & (
+        mb.edge_type != EdgeType.PRIVATE_LOOP_CLOSURE
+    )
+    et = _np.where(
+        odo,
+        EdgeType.ODOMETRY,
+        _np.where(
+            same, EdgeType.PRIVATE_LOOP_CLOSURE, EdgeType.SHARED_LOOP_CLOSURE
+        ),
+    ).astype(_np.int32)
+    out = MeasurementBatch(
+        src_robot=src_robot,
+        src_frame=src_frame,
+        dst_robot=dst_robot,
+        dst_frame=dst_frame,
+        R=mb.R,
+        t=mb.t,
+        kappa=mb.kappa,
+        tau=mb.tau,
+        weight=mb.weight,
+        fixed_weight=mb.fixed_weight | (et == EdgeType.ODOMETRY),
+        edge_type=et,
+    )
+    return PoseGraphData(
+        measurements=out,
+        num_poses=(bounds[1:] - bounds[:-1]).astype(_np.int64),
+        d=data.d,
+        initial_guess=getattr(data, "initial_guess", None),
+    )
+
+
 @dataclasses.dataclass
 class ShardedProblem:
     """Host-side container of the per-device tensors (numpy, pre-sharding)."""

@@ -155,3 +155,31 @@ def test_margin_guard_second_shift_agreement():
     assert abs(thin.min_eig_check - thin.min_eig) <= 1e-4 * max(
         1.0, abs(thin.min_eig)
     ) + 1e-5 * thin.scale
+
+
+def test_sparse_S_matches_operator():
+    """Round 5 (VERDICT r4 #9): the host-assembled sparse S (the fast
+    certify path — one CSR build instead of one device matvec per Lanczos
+    iteration) multiplies identically to the jitted s_matvec operator."""
+    prob = _tiny_problem(r=5)
+    e = prob.edges
+    rng = np.random.default_rng(3)
+    from dpgo_ros_tpu.parallel.rbcd import RBCDEngine
+    from dpgo_ros_tpu.utils.config import AgentConfig
+
+    eng = RBCDEngine(prob, AgentConfig(num_robots=1))
+    X = eng.initialize().X
+    Lam = certificate.lambda_blocks(X, e)
+    S = certificate.s_sparse(X, Lam, e)
+    n, _, dp1 = X.shape
+    N = n * dp1
+    assert abs(S - S.T).max() < 1e-9  # symmetric
+    for _ in range(5):
+        v = rng.normal(size=N)
+        V = jnp.asarray(v).reshape(n, dp1)[:, None, :]
+        ref = np.asarray(certificate.s_matvec(V, X, Lam, e)).reshape(N)
+        np.testing.assert_allclose(S @ v, ref, rtol=1e-9, atol=1e-9)
+    # both Lanczos paths agree on the min eigenvalue
+    v1, _ = certificate.min_eig_lanczos(X, Lam, e, host_sparse=True)
+    v2, _ = certificate.min_eig_lanczos(X, Lam, e, host_sparse=False)
+    assert abs(float(v1[0]) - float(v2[0])) < 1e-5 * max(1.0, abs(float(v1[0])))

@@ -51,3 +51,21 @@ def test_spmd_mid_run_snapshots(tmp_path):
     assert rc == 0
     tums = sorted(glob.glob(os.path.join(snap_dir, "snap_iter*.tum")))
     assert len(tums) >= 2
+
+
+def test_fleet_mid_run_snapshots(tmp_path):
+    """Round 5 (VERDICT r4 #8): the fleet protocol simulation — the mode
+    that runs longest — streams mid-run snapshots too."""
+    snap_dir = str(tmp_path / "fleet_snaps")
+    rc = cli_mod.main([
+        "--dataset", "tinyGrid3D", "--num_robots", "2",
+        "--platform", "cpu", "--mode", "fleet",
+        "--viz_interval_iters", "3",  # ticks, in fleet mode
+        "--viz_dir", snap_dir,
+    ])
+    assert rc == 0
+    tums = sorted(glob.glob(os.path.join(snap_dir, "snap_iter*.tum")))
+    assert len(tums) >= 2, f"expected >=2 mid-run snapshots, got {tums}"
+    assert os.path.exists(os.path.join(snap_dir, "latest.html"))
+    rows = np.loadtxt(tums[-1])
+    assert rows.shape[1] == 8 and np.all(np.isfinite(rows))
