@@ -227,6 +227,27 @@ def build_parser() -> argparse.ArgumentParser:
         help="single-Pallas-kernel RTR block solve (default: auto — on for "
         "fp32+RTR on a TPU backend)",
     )
+    p.add_argument(
+        "--spmd_steps_per_launch", type=int, default=1,
+        help="spmd mode: solver steps executed INSIDE one kernel launch "
+        "per mesh slot between separator all_gathers (round 5; >1 "
+        "requires the fused kernel; exact on a 1-slot mesh). On "
+        "multi-slot meshes the stretch steps default to ASAPP RGD "
+        "ticks (cheap units — raise --max_iteration_number "
+        "accordingly)",
+    )
+    p.add_argument(
+        "--spmd_stretch_rgd_stepsize", type=float, default=None,
+        help="spmd stretch step rule: preconditioned RGD ticks of this "
+        "stepsize (the ASAPP rule — the staleness-robust multi-slot "
+        "choice); default None = trust-region block solves",
+    )
+    p.add_argument(
+        "--spmd_repartition", type=_bool, default=False,
+        help="spmd mode: re-cut the global pose sequence into "
+        "work-balanced contiguous slot blocks (splits hot robots — "
+        "fixes dataset-pinned load skew, SCALING_r05.json)",
+    )
     p.add_argument("--seed", type=int, default=42)
     return p
 
@@ -289,6 +310,8 @@ def args_to_config(a):
         verbose=a.verbose,
         dtype=a.dtype,
         use_fused_kernel=a.use_fused_kernel,
+        spmd_steps_per_launch=a.spmd_steps_per_launch,
+        spmd_stretch_rgd_stepsize=a.spmd_stretch_rgd_stepsize,
         seed=a.seed,
     )
 
@@ -607,13 +630,18 @@ def main(argv=None) -> int:
             gather_trajectory,
             gather_weights,
             group_robots,
+            repartition_slots,
         )
         from dpgo_ros_tpu.ops import quadratic, rounding
         from dpgo_ros_tpu.utils.config import RobustCostType
 
         # fleets larger than the mesh: group robots into super-blocks
         M = min(len(jax.devices()), max(data.num_robots, 1))
-        if data.num_robots > M:
+        if a.spmd_repartition:
+            # work-balanced slot re-cut (splits hot robots; round 5)
+            data = repartition_slots(data, M)
+            cfg = dataclasses.replace(cfg, num_robots=M)
+        elif data.num_robots > M:
             data = group_robots(data, M)
             cfg = dataclasses.replace(cfg, num_robots=M)
         prob = LiftedProblem.from_data(
@@ -628,6 +656,15 @@ def main(argv=None) -> int:
             num_devices=M,
         )
         mesh = Mesh(np.array(jax.devices()[: sp.M]), ("robots",))
+        # stretch launches cover S iterations each; GNC keeps S=1 (weight
+        # rounds are host-side events at the reference cadence)
+        if (
+            cfg.robust_cost_type == RobustCostType.GNC_TLS
+            and getattr(cfg, "spmd_steps_per_launch", 1) > 1
+        ):
+            print("spmd: GNC runs use spmd_steps_per_launch=1 (weight "
+                  "rounds are per-iteration host events)", file=sys.stderr)
+            cfg = dataclasses.replace(cfg, spmd_steps_per_launch=1)
         st, step = build_spmd_step(sp, mesh, cfg)
         from dpgo_ros_tpu.utils import checkpoint as ckpt_mod
 
@@ -658,8 +695,10 @@ def main(argv=None) -> int:
                   file=sys.stderr)
         gnc = cfg.robust_cost_type == RobustCostType.GNC_TLS
         inner = cfg.robust_opt_inner_iters_per_robot * cfg.num_robots
+        S_launch = max(1, int(getattr(cfg, "spmd_steps_per_launch", 1)))
+        n_launches = -(-cfg.max_iteration_number // S_launch)
         log_rel, log_t, log_ev = [], [], []
-        for it in range(it0, cfg.max_iteration_number):
+        for it in range(it0, n_launches):
             # GNC weight rounds on the reference cadence
             wu = int(
                 gnc
@@ -727,7 +766,8 @@ def main(argv=None) -> int:
         )
         summary = {
             "mode": "spmd",
-            "iterations": it + 1,
+            "iterations": int(np.asarray(st.iteration)[0, 0]),
+            "launches": it + 1,
             "devices": sp.M,
             "final_cost": f_final,
         }

@@ -148,6 +148,22 @@ class RBCDEngine:
         self._kg = (
             fused_rtr.build_kernel_graph(problem) if self._use_fused else None
         )
+        # HBM windowed-DMA block solve (ops/hbm_rtr.py, round 5): large
+        # banded worlds exceed the remote compile service's program-size
+        # ceiling for every VMEM-resident kernel (bisected ~25k poses,
+        # HTTP 500); the windowed kernel's program is independent of n.
+        # Sequential update rules only (a color class is not one
+        # contiguous window).
+        import os as _os
+
+        _hbm_min = int(_os.environ.get("DPGO_HBM_NPAD_MIN", "16384"))
+        self._use_hbm = bool(
+            self._use_fused
+            and self._kg is not None
+            and self._kg.E_loop == 0
+            and self._kg.n_pad > _hbm_min
+            and cfg.update_rule != UpdateRule.PARALLEL
+        )
         # precomputed bf16 one-hot gather/scatter table (VMEM-resident for
         # the whole solve) — the round-3 fast path; None falls back to the
         # chunked on-the-fly construction for tables too big for VMEM
@@ -414,12 +430,28 @@ class RBCDEngine:
             kg = self._kg
             prob = self.problem
             Xt = fused_rtr.to_t(X, kg.n_pad)
-            mrow = fused_rtr.mask_to_row(mask, kg.n_pad)
-            Xt_new, stats = fused_rtr.rtr_solve_fused(
-                Xt, mrow, pt, wrows, kg, self.rtr_params,
-                interpret=self._interpret_fused,
-                oh=self._kg_oh,
-            )
+            if self._use_hbm:
+                # contiguous single-block mask → window coordinates
+                # (traced scalars; the kernel reads them from SMEM)
+                from dpgo_ros_tpu.ops import hbm_rtr
+
+                flat = mask[:, 0, 0] > 0
+                start = jnp.argmax(flat).astype(jnp.int32)
+                length = jnp.sum(flat).astype(jnp.int32)
+                Xt_new, stats = hbm_rtr.rtr_solve_hbm(
+                    Xt, start, length, pt, wrows, kg, self.rtr_params,
+                    interpret=self._interpret_fused,
+                )
+                # stats f values are LOCAL cost restrictions (window
+                # edges only) — fine for telemetry; rel-change and
+                # termination use the X displacement, not f
+            else:
+                mrow = fused_rtr.mask_to_row(mask, kg.n_pad)
+                Xt_new, stats = fused_rtr.rtr_solve_fused(
+                    Xt, mrow, pt, wrows, kg, self.rtr_params,
+                    interpret=self._interpret_fused,
+                    oh=self._kg_oh,
+                )
             X_new = jnp.where(
                 mask > 0,
                 fused_rtr.from_t(Xt_new, prob.n, prob.r, prob.d + 1),
@@ -929,40 +961,71 @@ class RBCDEngine:
                 )
             pt, wrows = cache
             if cfg.update_rule == UpdateRule.PARALLEL:
+                k = jnp.mod(it, self.num_colors)
                 mrow = jax.lax.dynamic_index_in_dim(
-                    crows, jnp.mod(it, self.num_colors), keepdims=True
+                    crows, k, keepdims=True
                 )
             elif cfg.update_rule == UpdateRule.ROUND_ROBIN:
-                mrow = jax.lax.dynamic_index_in_dim(
-                    mrows, jnp.mod(it, R), keepdims=True
+                k = jnp.mod(it, R)
+                mrow = None if self._use_hbm else (
+                    jax.lax.dynamic_index_in_dim(mrows, k, keepdims=True)
                 )
             else:
                 k = jax.random.randint(
                     jax.random.fold_in(key0, it), (), 0, R
                 )
-                mrow = jax.lax.dynamic_index_in_dim(
-                    mrows, k, keepdims=True
+                mrow = None if self._use_hbm else (
+                    jax.lax.dynamic_index_in_dim(mrows, k, keepdims=True)
                 )
-            Xt_new, stats = fused_rtr.rtr_solve_fused(
-                Xt, mrow, pt, wrows, kg, self.rtr_params,
-                interpret=self._interpret_fused,
-                consts=consts, wins=wins, oh=self._kg_oh,
-            )
-            # restore unmasked lanes exactly (NS retraction renormalizes
-            # all lanes; drift outside the block must not accumulate)
-            Xt2 = Xt + (Xt_new - Xt) * mrow
-            moved = jax.lax.dynamic_slice(
-                stats, (0, fused_rtr._S_MOVED), (1, R)
-            )[0].astype(self.dtype)
-            upd = jax.lax.dynamic_slice(
-                stats, (0, fused_rtr._S_UPD), (1, R)
-            )[0]
+            if self._use_hbm and cfg.update_rule != UpdateRule.PARALLEL:
+                # HBM windowed kernel (large banded worlds): block
+                # coordinates via one-hot selects (gathers poison this
+                # runtime's sync path — docs/PERFORMANCE.md round 4)
+                from dpgo_ros_tpu.ops import hbm_rtr
+
+                iota_R = jnp.arange(R)
+                offs_arr = jnp.asarray(kg.offsets, jnp.int32)
+                lens_arr = jnp.asarray(kg.num_poses, jnp.int32)
+                sel = (iota_R == k).astype(jnp.int32)
+                start = jnp.sum(sel * offs_arr)
+                length = jnp.sum(sel * lens_arr)
+                Xt2, stats_h = hbm_rtr.rtr_solve_hbm(
+                    Xt, start, length, pt, wrows, kg, self.rtr_params,
+                    interpret=self._interpret_fused,
+                )
+                # per-robot moved/upd rows from the single-block stats
+                moved = (
+                    sel.astype(self.dtype) * stats_h[0, 6].astype(self.dtype)
+                )
+                upd = sel.astype(jnp.float32)
+                stats = stats_h
+            else:
+                Xt_new, stats = fused_rtr.rtr_solve_fused(
+                    Xt, mrow, pt, wrows, kg, self.rtr_params,
+                    interpret=self._interpret_fused,
+                    consts=consts, wins=wins, oh=self._kg_oh,
+                )
+                # restore unmasked lanes exactly (NS retraction
+                # renormalizes all lanes; drift outside the block must
+                # not accumulate)
+                Xt2 = Xt + (Xt_new - Xt) * mrow
+                moved = jax.lax.dynamic_slice(
+                    stats, (0, fused_rtr._S_MOVED), (1, R)
+                )[0].astype(self.dtype)
+                upd = jax.lax.dynamic_slice(
+                    stats, (0, fused_rtr._S_UPD), (1, R)
+                )[0]
             # neighbor invalidation — see _finish_step
             bump = (moved * upd.astype(self.dtype)) @ self._adjf
             rel2 = jnp.where(
                 upd > 0, moved, jnp.maximum(rel, bump)
             )
-            cost2 = stats[0, 1].astype(self.dtype)
+            if self._use_hbm and cfg.update_rule != UpdateRule.PARALLEL:
+                # HBM stats carry LOCAL window costs — keep the carried
+                # global cost (callers recompute the final cost globally)
+                cost2 = cost
+            else:
+                cost2 = stats[0, 1].astype(self.dtype)
             if record:
                 rel_h = rel_h.at[it].set(rel2)
                 ev_h = ev_h.at[it].set(wu_fired.astype(jnp.int8))

@@ -515,6 +515,12 @@ def build_spmd_step(
 
     if S > 1 and (not use_fused or M > _MAXR):
         S = 1
+    if S > 1 and M > 1 and stretch_rgd is None:
+        # multi-slot stretches default to the staleness-robust ASAPP RGD
+        # rule: full RTR block solves against S-step-stale separators
+        # DIVERGE (measured round 5 — Jacobi overshoot); only an M=1 mesh
+        # has nothing to be stale against
+        stretch_rgd = float(cfg.RGD_stepsize)
     kg_ms = None
     if use_fused and S > 1:
         kg_ms = dataclasses.replace(

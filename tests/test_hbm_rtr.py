@@ -102,3 +102,33 @@ def test_hbm_window_width_covers_alignment_slack():
         off = max(min(((max(o - halo, 0)) // 256) * 256, kg.n_pad - W), 0)
         assert off <= max(o - halo, 0)
         assert off + W >= min(o + nk + halo, kg.n_pad), (rb, off, W)
+
+
+def test_engine_hbm_path_matches_vmem(monkeypatch):
+    """Round 5: the engine routes large banded worlds through the HBM
+    windowed kernel (DPGO_HBM_NPAD_MIN gates it; lowered here so a small
+    world exercises the path). RoundRobin runs on the HBM and VMEM paths
+    must produce the same trajectory to fp tolerance."""
+    import dataclasses as dc
+
+    monkeypatch.setenv("DPGO_FUSED_MULTISTEP", "0")  # per-step t-runner
+    prob, eng_ref, st_ref0 = _setup("synthetic", 3)
+    cfg = eng_ref.config
+    run_ref = eng_ref.make_fused_run(9)
+    out_ref = run_ref(st_ref0)
+
+    monkeypatch.setenv("DPGO_HBM_NPAD_MIN", "128")
+    from dpgo_ros_tpu.parallel.rbcd import RBCDEngine
+
+    eng_h = RBCDEngine(prob, cfg)
+    assert eng_h._use_hbm, "HBM path not engaged"
+    st_h0 = eng_h.initialize()
+    out_h = eng_h.make_fused_run(9)(st_h0)
+    assert int(out_h.iteration) == int(out_ref.iteration) == 9
+    scale = float(np.abs(np.asarray(out_ref.X)).max())
+    dv = float(np.abs(np.asarray(out_ref.X) - np.asarray(out_h.X)).max())
+    assert dv < 5e-3 * max(scale, 1.0), dv
+    np.testing.assert_allclose(
+        np.asarray(out_h.rel_change), np.asarray(out_ref.rel_change),
+        rtol=5e-3, atol=5e-4,
+    )
