@@ -49,19 +49,189 @@ class CertifiedResult(NamedTuple):
     margin_verified: bool = True
 
 
-def _tight_rtr(X, e, params: RTRParams, rounds: int):
-    """Repeat the (jit-compiled, fixed-budget) RTR program until the
-    gradient tolerance is actually met — each call resumes from the last
-    iterate, so ``rounds × max_iterations`` is the true outer budget."""
+def _newton_polish(
+    X,
+    e,
+    gradnorm_tol: float,
+    max_newton: int = 25,
+    verbose: bool = False,
+):
+    """Host sparse-KKT Riemannian Newton polish (round 5, VERDICT r4 #9).
+
+    The fp64 tight-solve tail dominated certified solves: parking-garage
+    needs ~1,300 s of truncated-CG to reach gradnorm 1e-6 because its SDP
+    optimal face makes the Hessian nearly singular (fp32 warm starts do
+    not help — the cost IS the ill-conditioned final approach). But the
+    Riemannian Hessian of the lifted PGO cost is exactly
+
+        Hess f[V] = 2·Proj_X(S V),   S = Q − Λ̂,
+
+    (compare ``quadratic.rhess_vp``: egrad(V) − V_Y·sym(Yᵀegrad(X)_Y) =
+    2(QV − Λ̂V)), and round 5's :func:`certificate.s_sparse` materializes
+    S as a host CSR matrix. A tangent-space Newton step is then one
+    sparse KKT solve
+
+        [S ⊗ I_r + τI,  Cᵀ] [v]   [−proj(Q X)]
+        [C,             0 ] [λ] = [0],
+
+    with C the per-pose Stiefel tangency constraints sym(Yᵢᵀ V_Yᵢ) = 0
+    and τ a Levenberg damping doubled until the retracted step descends
+    the gradient norm. scipy splu factors the ~40k-dim system in ~1 s —
+    quadratic convergence replaces the 20-minute tCG tail.
+
+    Returns (X, gradnorm) — callers fall back to :func:`_tight_rtr` if
+    the target tolerance was not reached.
+    """
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as sla
+
+    n, r, dp1 = X.shape
+    d = dp1 - 1
+    N = n * dp1
+    m_per = d * (d + 1) // 2
+
+    def rgrad_norm(Xc):
+        g = quadratic.rgrad(Xc, e)
+        return g, float(jnp.linalg.norm(g))
+
+    X = jnp.asarray(X)
+    g, gn = rgrad_norm(X)
+    tau_carry = None  # successful damping carried across iterations
+    for it in range(max_newton):
+        if gn <= gradnorm_tol:
+            break
+        Lam = certificate.lambda_blocks(X, e)
+        S = certificate.s_sparse(X, Lam, e)
+        A = sp.kron(sp.identity(r, format="csr"), S, format="csr")
+        # tangency constraints: for pose i, a <= b:
+        #   sum_rho Y[i,rho,a] V[i,rho,b] + Y[i,rho,b] V[i,rho,a] = 0
+        # column index of V[i,rho,c] in v = vec over (rho, i, c):
+        #   rho*N + i*dp1 + c
+        Xn = np.asarray(X, np.float64)
+        rows, cols, vals = [], [], []
+        ci = 0
+        pair_list = [(a, b) for a in range(d) for b in range(a, d)]
+        for a, b in pair_list:
+            # vectorized over poses: constraint row ci + i
+            for rho in range(r):
+                base = rho * N + np.arange(n) * dp1
+                rows.append(ci + np.arange(n))
+                cols.append(base + b)
+                vals.append(Xn[:, rho, a])
+                if b != a:
+                    rows.append(ci + np.arange(n))
+                    cols.append(base + a)
+                    vals.append(Xn[:, rho, b])
+                else:
+                    rows.append(ci + np.arange(n))
+                    cols.append(base + a)
+                    vals.append(Xn[:, rho, a])
+            ci += n
+        m = ci
+        C = sp.coo_matrix(
+            (
+                np.concatenate(vals),
+                (np.concatenate(rows), np.concatenate(cols)),
+            ),
+            shape=(m, r * N),
+        ).tocsr()
+        # rhs: -proj(Q X) rows, laid out as vec over (rho, i, c)
+        gp = np.asarray(g, np.float64) / 2.0  # g = 2·proj(QX)
+        rhs = np.concatenate(
+            [
+                np.transpose(gp, (1, 0, 2)).reshape(r, N).ravel() * -1.0,
+                np.zeros(m),
+            ]
+        )
+        scale = max(float(abs(S).max()), 1.0)
+        # start from one notch below the last accepted damping — each
+        # rejected try costs a full KKT factorization
+        tau = (
+            max(tau_carry / 100.0, 1e-10 * scale)
+            if tau_carry is not None
+            else 1e-10 * scale
+        )
+        accepted = False
+        for _try in range(8):
+            K = sp.bmat(
+                [
+                    [A + tau * sp.identity(r * N, format="csr"), C.T],
+                    [C, None],
+                ],
+                format="csc",
+            )
+            try:
+                sol = sla.splu(K).solve(rhs)
+            except RuntimeError:
+                tau = max(tau * 100.0, 1e-8 * scale)
+                continue
+            v = sol[: r * N].reshape(r, n, dp1).transpose(1, 0, 2)
+            V = stiefel.proj_tangent(X, jnp.asarray(v, X.dtype))
+            X_try = stiefel.retract_polar(X, V)
+            g_try, gn_try = rgrad_norm(X_try)
+            if np.isfinite(gn_try) and gn_try < gn:
+                X, g, gn = X_try, g_try, gn_try
+                accepted = True
+                tau_carry = tau
+                break
+            tau = max(tau * 100.0, 1e-8 * scale)
+        if verbose:
+            print(
+                f"[newton_polish] it={it} gn={gn:.3e} tau={tau:.1e} "
+                f"accepted={accepted}",
+                flush=True,
+            )
+        if not accepted:
+            break
+    return X, gn
+
+
+def _tight_rtr(
+    X, e, params: RTRParams, rounds: int, use_newton: bool = True,
+    verbose: bool = False,
+):
+    """Reach the gradient tolerance: a loose RTR phase into the Newton
+    basin, then the sparse-KKT Newton polish (:func:`_newton_polish` —
+    quadratic convergence where the ill-conditioned tCG tail used to burn
+    ~20 minutes on parking-garage), with full-budget RTR rounds as the
+    safeguarded fallback."""
     mask = jnp.ones((X.shape[0], 1, 1), X.dtype)
     Pinv = quadratic.precond_inverse(
         quadratic.precond_blocks(e, X.shape[0], damping=1e-2)
     )
     res = None
-    for _ in range(rounds):
-        X, res = rtr_solve(X, e, mask, Pinv, params)
-        if float(res.gradnorm_opt) <= params.gradnorm_tol:
+    g0 = float(jnp.linalg.norm(quadratic.rgrad(X, e)))
+    # RTR marches to the Newton basin (4 orders off the initial
+    # gradient), then the sparse-KKT Newton finishes the quadratic tail.
+    # Measured boundary (round 5, parking-garage): ENTERING EARLIER does
+    # not help — on its flat SDP-face valley the damped Newton crawls at
+    # the same rate as tCG (gn −1.3 %/iter at the stable damping), so the
+    # march is left to RTR and Newton only replaces the tail.
+    loose_tol = max(params.gradnorm_tol, 1e-4 * max(g0, 1.0))
+    lp = dataclasses.replace(params, gradnorm_tol=loose_tol)
+    for rd in range(rounds):
+        X, res = rtr_solve(X, e, mask, Pinv, lp)
+        if verbose:
+            print(
+                f"[tight_rtr] loose round {rd}: f={float(res.f_opt):.6f} "
+                f"gn={float(res.gradnorm_opt):.3e}",
+                flush=True,
+            )
+        if float(res.gradnorm_opt) <= loose_tol:
             break
+    if use_newton and float(res.gradnorm_opt) > params.gradnorm_tol:
+        X, gn = _newton_polish(
+            X, e, params.gradnorm_tol, verbose=verbose
+        )
+        res = res._replace(
+            gradnorm_opt=jnp.asarray(gn, X.dtype),
+            f_opt=quadratic.cost(X, e),
+        )
+    if float(res.gradnorm_opt) > params.gradnorm_tol:
+        for _ in range(rounds):
+            X, res = rtr_solve(X, e, mask, Pinv, params)
+            if float(res.gradnorm_opt) <= params.gradnorm_tol:
+                break
     return X, res
 
 
@@ -151,7 +321,7 @@ def certified_solve(
     while True:
         if not ranks or ranks[-1] != X.shape[1]:
             ranks.append(X.shape[1])
-        X, res = _tight_rtr(X, e, params, rtr_rounds)
+        X, res = _tight_rtr(X, e, params, rtr_rounds, verbose=verbose)
         cert = certificate.certify(
             X, e, eig_tol=eig_tol, crit_tol=crit_tol,
             maxiter=lanczos_maxiter,

@@ -55,19 +55,35 @@ def bench(n, num_robots, iters=60):
     eng = RBCDEngine(prob, cfg)
     assert eng._use_fused, "fused kernel unavailable (not on TPU?)"
     st = eng.initialize()
-    run = eng.make_fused_run(iters)
-    out = run(st)
+    # work-normalized reporting (round 5): the in-kernel tCG counter
+    # rides along where the runner supports it
+    tcg_total = None
+    try:
+        run = eng.make_fused_run(iters, return_stats=True)
+
+        def call(s):
+            return run(s)
+    except ValueError:
+        base = eng.make_fused_run(iters)
+
+        def call(s):
+            return base(s), None
+
+    out, tcg = call(st)
     out.cost.block_until_ready()
     t0 = time.time()
-    out = run(st)
+    out, tcg = call(st)
     out.cost.block_until_ready()
     dt = time.time() - t0
     steps = int(out.iteration)
+    if tcg is not None:
+        tcg_total = int(tcg)
     sizes = np.bincount(eng.robot_colors, minlength=eng.num_colors)
     updates = int(sum(sizes[s % eng.num_colors] for s in range(steps)))
     ups = updates / dt
     log(
-        f"n={n} R={num_robots}: {steps} steps ({updates} updates) in "
+        f"n={n} R={num_robots}: {steps} steps ({updates} updates, "
+        f"tcg={tcg_total}) in "
         f"{dt:.3f}s = {ups:.1f} updates/s; cost {float(st.cost):.3e} -> "
         f"{float(out.cost):.3e}; n_pad={eng._kg.n_pad} "
         f"E_loop={eng._kg.E_loop} diags={eng._kg.diags2}"
@@ -77,6 +93,10 @@ def bench(n, num_robots, iters=60):
         "num_robots": num_robots,
         "steps": steps,
         "block_updates_per_sec": ups,
+        "tcg_iters": tcg_total,
+        "tcg_iters_per_sec": (
+            round(tcg_total / dt, 1) if tcg_total else None
+        ),
         "ms_per_step": dt / steps * 1e3,
         "final_cost": float(out.cost),
         "n_pad": eng._kg.n_pad,
