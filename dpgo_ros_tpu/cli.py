@@ -243,6 +243,12 @@ def build_parser() -> argparse.ArgumentParser:
         "choice); default None = trust-region block solves",
     )
     p.add_argument(
+        "--spmd_separator_only", type=_bool, default=None,
+        help="spmd mode: exchange only separator poses between mesh "
+        "slots (the PublicPoses payload; ~12x less exchange volume). "
+        "Default: auto — on for non-robust runs",
+    )
+    p.add_argument(
         "--spmd_repartition", type=_bool, default=False,
         help="spmd mode: re-cut the global pose sequence into "
         "work-balanced contiguous slot blocks (splits hot robots — "
@@ -312,6 +318,7 @@ def args_to_config(a):
         use_fused_kernel=a.use_fused_kernel,
         spmd_steps_per_launch=a.spmd_steps_per_launch,
         spmd_stretch_rgd_stepsize=a.spmd_stretch_rgd_stepsize,
+        spmd_separator_only=a.spmd_separator_only,
         seed=a.seed,
     )
 

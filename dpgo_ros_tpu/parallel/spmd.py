@@ -248,6 +248,14 @@ class ShardedProblem:
     M: int
     r: int
     d: int
+    # separator-pose exchange support (round 5): per-slot LOCAL indices of
+    # poses touched by cross-slot edges, padded to a common S_max
+    # (sep_valid marks real entries). The PublicPoses analog: only these
+    # poses need to travel per step — the reference's core bandwidth idea
+    # (``msg/PublicPoses.msg``).
+    sep_idx: np.ndarray = None  # (M, S_max) int32
+    sep_valid: np.ndarray = None  # (M, S_max) float32
+    S_max: int = 0
 
     @staticmethod
     def build(
@@ -357,7 +365,25 @@ class ShardedProblem:
         colors[:nR] = robot_colors
         if M > nR:
             colors[nR:] = 0
+        # separator pose sets: local poses of each robot touched by a
+        # cross-robot edge (the PublicPoses payload)
+        src_g, dst_g = gpad_of[src], gpad_of[dst]
+        cross = emask & (src_r != dst_r)
+        seps = [set() for _ in range(M)]
+        for k in np.where(cross)[0]:
+            seps[int(src_r[k])].add(int(src_g[k]) % n_max)
+            seps[int(dst_r[k])].add(int(dst_g[k]) % n_max)
+        S_max = max(1, max((len(s) for s in seps), default=1))
+        sep_idx = np.zeros((M, S_max), np.int32)
+        sep_valid = np.zeros((M, S_max), np.float32)
+        for m in range(M):
+            ids = sorted(seps[m])
+            sep_idx[m, : len(ids)] = ids
+            sep_valid[m, : len(ids)] = 1.0
         return ShardedProblem(
+            sep_idx=sep_idx,
+            sep_valid=sep_valid,
+            S_max=S_max,
             X0=X0,
             pose_valid=pv,
             color=colors,
@@ -404,6 +430,27 @@ def build_spmd_step(
     gnc = cfg.robust_cost_type == RobustCostType.GNC_TLS
     S = max(1, int(getattr(cfg, "spmd_steps_per_launch", 1)))
     stretch_rgd = getattr(cfg, "spmd_stretch_rgd_stepsize", None)
+    sep_only = getattr(cfg, "spmd_separator_only", None)
+    if sep_only is None:
+        sep_only = not gnc and sp.sep_idx is not None
+    if sep_only and gnc:
+        raise ValueError(
+            "spmd_separator_only is incompatible with GNC runs (weight "
+            "rounds evaluate a global rounding over all lanes)"
+        )
+    sep_only = bool(sep_only and sp.sep_idx is not None)
+    if sep_only:
+        # static scatter coordinates of every slot's separator slab in the
+        # gathered (M*n_max) lane space, invalid entries routed to a dump
+        # row; inert template pose for never-exchanged lanes
+        _gpos = (
+            np.arange(M)[:, None] * n_max + np.asarray(sp.sep_idx)
+        ).reshape(-1)
+        _gpos = np.where(
+            np.asarray(sp.sep_valid).reshape(-1) > 0, _gpos, M * n_max
+        ).astype(np.int32)
+        _pad_pose = np.zeros((sp.r, sp.d + 1), np.float32)
+        _pad_pose[: sp.d, : sp.d] = np.eye(sp.d)
 
     # --- fused single-Pallas-kernel local solve (ops/fused_rtr.py) --------
     # Per-device KernelGraphs over the GLOBAL gathered pose space share one
@@ -548,6 +595,11 @@ def build_spmd_step(
             is_loop=sp.is_loop,
             pose_valid=sp.pose_valid,
             color=sp.color,
+            **(
+                {"sep_idx": np.asarray(sp.sep_idx, np.int32)}
+                if sep_only
+                else {}
+            ),
             **kg_consts,
         ).items()
     }
@@ -563,10 +615,35 @@ def build_spmd_step(
         # scheduled in different orders by per-device executors and deadlock
         # the in-process CPU rendezvous; one collective also means one ICI
         # transfer on hardware. V is the is_auxiliary stream.
-        both = jnp.stack([X_own, st.V[0]], axis=0)  # (2, n_max, r, d+1)
-        g = jax.lax.all_gather(both, axis)  # (M, 2, n_max, r, d+1)
-        Xg = g[:, 0].reshape(M * n_max, sp.r, sp.d + 1)
-        Vg = g[:, 1].reshape(M * n_max, sp.r, sp.d + 1)
+        if sep_only:
+            # only the separator slabs travel (round 5): non-separator
+            # lanes of other slots never influence a masked block solve
+            # (owned edges touch own block + separators; foreign-edge
+            # contributions hit masked lanes and cost constants that
+            # cancel in trust-region reductions) — they are filled with
+            # an inert template pose
+            sidx = c["sep_idx"][0]
+            both = jnp.stack(
+                [X_own[sidx], st.V[0][sidx]], axis=0
+            )  # (2, S_max, r, d+1)
+            g = jax.lax.all_gather(both, axis)  # (M, 2, S_max, r, d+1)
+            sepX = g[:, 0].reshape(M * sp.S_max, sp.r, sp.d + 1)
+            sepV = g[:, 1].reshape(M * sp.S_max, sp.r, sp.d + 1)
+            tmpl = jnp.broadcast_to(
+                jnp.asarray(_pad_pose, X_own.dtype),
+                (M * n_max + 1, sp.r, sp.d + 1),
+            )
+            gpos = jnp.asarray(_gpos)  # padding → dump row M*n_max
+            Xg = tmpl.at[gpos].set(sepX)[: M * n_max]
+            Vg = tmpl.at[gpos].set(sepV)[: M * n_max]
+            # own block is locally fresh — no need to round-trip it
+            Xg = jax.lax.dynamic_update_slice(Xg, X_own, (start, z, z))
+            Vg = jax.lax.dynamic_update_slice(Vg, st.V[0], (start, z, z))
+        else:
+            both = jnp.stack([X_own, st.V[0]], axis=0)  # (2, n_max, r, d+1)
+            g = jax.lax.all_gather(both, axis)  # (M, 2, n_max, r, d+1)
+            Xg = g[:, 0].reshape(M * n_max, sp.r, sp.d + 1)
+            Vg = g[:, 1].reshape(M * n_max, sp.r, sp.d + 1)
         e = EdgeSet(
             src=c["src"][0],
             dst=c["dst"][0],

@@ -211,6 +211,17 @@ class AgentConfig:
     # (the ASAPP update rule — staleness-robust, the multi-slot default
     # choice; reference ``launch/asapp_demo.launch`` stepsize 0.2).
     spmd_stretch_rgd_stepsize: Optional[float] = None
+    # Exchange ONLY separator poses between mesh slots (the reference's
+    # core bandwidth idea — ``msg/PublicPoses.msg`` carries nothing else):
+    # non-separator lanes of other slots are mathematically irrelevant to
+    # a masked block solve (every owned edge touches own block +
+    # separators only) and are filled with inert template poses. Cuts the
+    # per-step exchange from full blocks to the separator set (~12x on
+    # sphere2500). None = auto (on for non-robust runs); GNC runs
+    # exchange full blocks — their weight rounds evaluate a GLOBAL
+    # rounding (SVD over all lanes) that stale template lanes would
+    # corrupt.
+    spmd_separator_only: Optional[bool] = None
 
     def resolve(self) -> "AgentConfig":
         """Apply the reference's derived-parameter rules

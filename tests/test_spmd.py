@@ -230,6 +230,24 @@ def test_repartition_slots_cost_invariant_and_balanced():
     assert f < 1025.4 * 1.01
 
 
+def test_spmd_separator_only_exchange_matches_full():
+    """Round 5: exchanging ONLY separator slabs (the PublicPoses payload —
+    the reference's core bandwidth idea) must reproduce the full-block
+    exchange: a device's edge set touches nothing but its own block and
+    separators, so the inert template lanes are mathematically invisible
+    to the masked solves."""
+    outs = {}
+    for flag in (False, True):
+        data, prob, eng, st0, sp, st, step = _setup(
+            4, spmd_separator_only=flag
+        )
+        assert sp.S_max >= 1
+        for it in range(12):
+            st = step(np.int32(it), np.int32(0), st)
+        outs[flag] = gather_trajectory(sp, st, prob.num_poses)
+    np.testing.assert_allclose(outs[True], outs[False], rtol=1e-6, atol=1e-6)
+
+
 @pytest.mark.slow
 def test_spmd_more_robots_than_devices_via_grouping():
     """8 robots on a 4-device mesh: robots group into super-blocks."""
