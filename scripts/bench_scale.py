@@ -41,9 +41,13 @@ def bench(n, num_robots, iters=60):
         trans_noise=0.05, seed=0,
     )
     prob = LiftedProblem.from_data(data, r=5, dtype=jnp.float32)
+    # large banded worlds route through the HBM windowed kernel, which
+    # serves sequential rules (a color class is not one contiguous
+    # window); small worlds keep the colored-parallel VMEM path
+    rule = UpdateRule.PARALLEL if n <= 16000 else UpdateRule.ROUND_ROBIN
     cfg = AgentConfig(
         num_robots=num_robots,
-        update_rule=UpdateRule.PARALLEL,
+        update_rule=rule,
         local_initialization_method=InitMethod.ODOMETRY,
         relative_change_tolerance=0.0,
         max_iteration_number=iters,
@@ -69,23 +73,56 @@ def bench(n, num_robots, iters=60):
         def call(s):
             return base(s), None
 
+    # round-5 methodology: chained DISTINCT-input solves (gauge-rotated
+    # by a scalar of the previous solve's output — a strict data
+    # dependency), one sync at the end. Identical-re-execution timing is
+    # served from somewhere cheaper by this runtime (docs/PERFORMANCE.md
+    # round 5) and was retracted.
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from bench import make_perturb
+
+    perturb = make_perturb(prob.r)
     out, tcg = call(st)
-    out.cost.block_until_ready()
+    sig = jnp.sum(out.X[:, 0, 0])
+    st_w = st._replace(X=perturb(st.X, sig, np.float32(0.5)))
+    out_w, _ = call(st_w)
+    out_w.X.block_until_ready()
+    K = 6
+    cur = st
+    tcgs = []
     t0 = time.time()
-    out, tcg = call(st)
-    out.cost.block_until_ready()
-    dt = time.time() - t0
+    for i in range(K):
+        out, tcg = call(cur)
+        tcgs.append(tcg)
+        if i < K - 1:
+            sig = jnp.sum(out.X[:, 0, 0])
+            cur = st._replace(
+                X=perturb(st.X, sig, np.float32(i + 1.0))
+            )
+    out.X.block_until_ready()
+    dt = (time.time() - t0) / K
     steps = int(out.iteration)
     if tcg is not None:
-        tcg_total = int(tcg)
-    sizes = np.bincount(eng.robot_colors, minlength=eng.num_colors)
-    updates = int(sum(sizes[s % eng.num_colors] for s in range(steps)))
+        tcg_total = int(np.mean([int(np.asarray(t)) for t in tcgs]))
+    if rule == UpdateRule.PARALLEL:
+        sizes = np.bincount(eng.robot_colors, minlength=eng.num_colors)
+        updates = int(sum(sizes[s % eng.num_colors] for s in range(steps)))
+    else:
+        updates = steps
     ups = updates / dt
+    # the HBM-routed runner carries a stale cost (its stats are local
+    # window restrictions) — recompute the final cost globally
+    from dpgo_ros_tpu.ops import quadratic
+
+    f_final = float(quadratic.cost(out.X, prob.edges))
     log(
         f"n={n} R={num_robots}: {steps} steps ({updates} updates, "
         f"tcg={tcg_total}) in "
-        f"{dt:.3f}s = {ups:.1f} updates/s; cost {float(st.cost):.3e} -> "
-        f"{float(out.cost):.3e}; n_pad={eng._kg.n_pad} "
+        f"{dt:.3f}s/solve = {ups:.1f} updates/s; cost "
+        f"{float(st.cost):.3e} -> "
+        f"{f_final:.3e}; n_pad={eng._kg.n_pad} "
         f"E_loop={eng._kg.E_loop} diags={eng._kg.diags2}"
     )
     return {
@@ -98,7 +135,7 @@ def bench(n, num_robots, iters=60):
             round(tcg_total / dt, 1) if tcg_total else None
         ),
         "ms_per_step": dt / steps * 1e3,
-        "final_cost": float(out.cost),
+        "final_cost": f_final,
         "n_pad": eng._kg.n_pad,
         "E_loop_onehot": eng._kg.E_loop,
     }
@@ -125,7 +162,7 @@ def main():
         with open(path) as f:
             results = json.load(f)
     results["scale_bench_synthetic_sphere"] = {
-        "note": "fused colored-parallel engine run, reference RTR budget, "
+        "note": "fused engine run (colored-parallel; ROUND_ROBIN via the HBM windowed kernel for n > 16k), reference RTR budget, chained distinct-input timing, "
                 "fp32, one v5e chip; worlds from io/synthetic.py",
         "rows": rows,
     }
