@@ -432,12 +432,11 @@ def build_spmd_step(
     stretch_rgd = getattr(cfg, "spmd_stretch_rgd_stepsize", None)
     sep_only = getattr(cfg, "spmd_separator_only", None)
     if sep_only is None:
-        sep_only = not gnc and sp.sep_idx is not None
-    if sep_only and gnc:
-        raise ValueError(
-            "spmd_separator_only is incompatible with GNC runs (weight "
-            "rounds evaluate a global rounding over all lanes)"
-        )
+        sep_only = sp.sep_idx is not None
+    # GNC compatibility: the step exchange only feeds the masked solves
+    # (own block + separators — always fresh); weight rounds do their own
+    # FULL all_gather inside the lax.cond, so the global rounding they
+    # evaluate never sees template lanes
     sep_only = bool(sep_only and sp.sep_idx is not None)
     if sep_only:
         # static scatter coordinates of every slot's separator slab in the
