@@ -152,6 +152,9 @@ def test_spmd_stretch_converges_multi_device():
     )
     for lt in range(32):  # 512 RGD ticks in 32 launches
         st = step(np.int32(lt), np.int32(0), st)
+        # per-launch sync: long unsynced dispatch chains can deadlock the
+        # in-process CPU all_gather rendezvous (2 cores, 8 threads)
+        st.X.block_until_ready()
     assert int(np.asarray(st.iteration)[0, 0]) == 512
     Xg = gather_trajectory(sp, st, prob.num_poses)
     f = float(
