@@ -757,16 +757,22 @@ def main(argv=None) -> int:
             print(f"per-agent telemetry CSVs in {a.log_directory}",
                   file=sys.stderr)
         Xg = gather_trajectory(sp, st, prob.num_poses)
-        T = np.asarray(
-            rounding.anchor_to_first_pose(
-                rounding.round_solution(jnp.asarray(Xg))
-            )
-        )
         # final cost under the FINAL robust weights (rejected outliers stay
         # rejected in the reported objective)
         w_final = jnp.asarray(
             gather_weights(sp, st, prob.edges.num_edges), jnp.float32
         )
+        # TERMINATE semantics via the engine's finalize (reference
+        # ``PGOAgentROS.cpp:1036-1082``): resolve undecided GNC weights by
+        # final residual, round, anchor — without this the spmd mode left
+        # budget-capped runs with an undecided tail the fleet protocol
+        # resolves (round 5)
+        st_fin = st0._replace(
+            X=jnp.asarray(Xg, st0.X.dtype), weights=w_final
+        )
+        T, st_fin = eng.finalize(st_fin)
+        T = np.asarray(T)
+        w_final = jnp.asarray(st_fin.weights, jnp.float32)
         export_weights = np.asarray(w_final)
         f_final = float(
             quadratic.cost(jnp.asarray(Xg), eng._edges(w_final))
