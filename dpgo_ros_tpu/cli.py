@@ -844,6 +844,20 @@ def main(argv=None) -> int:
                 )
 
         cb = _cb if (mgr is not None or snap is not None) else None
+        if (
+            a.mode == "engine"
+            and cb is None
+            and jax.default_backend() == "tpu"
+        ):
+            # the host-driven per-step loop pays a device sync per
+            # iteration on this runtime; the fused runner solves the
+            # whole program in one dispatch (~5x the demo wall)
+            print(
+                "hint: --mode fused runs this solve as one on-device "
+                "program (much faster when no per-step checkpoints/"
+                "snapshots are needed)",
+                file=sys.stderr,
+            )
         t_run0 = time.time()
         with device_trace(a.profile_dir):
             if a.mode == "fused":
