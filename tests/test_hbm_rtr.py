@@ -109,8 +109,6 @@ def test_engine_hbm_path_matches_vmem(monkeypatch):
     windowed kernel (DPGO_HBM_NPAD_MIN gates it; lowered here so a small
     world exercises the path). RoundRobin runs on the HBM and VMEM paths
     must produce the same trajectory to fp tolerance."""
-    import dataclasses as dc
-
     monkeypatch.setenv("DPGO_FUSED_MULTISTEP", "0")  # per-step t-runner
     prob, eng_ref, st_ref0 = _setup("synthetic", 3)
     cfg = eng_ref.config

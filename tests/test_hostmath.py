@@ -68,8 +68,6 @@ def test_hostmath_matches_jax_ops():
 def test_hostmath_gnc_mirrors_match_jax():
     """The fleet's numpy GNC math (residuals, TLS weights, round params
     for every schedule) must match models/robust.py."""
-    import dataclasses
-
     from dpgo_ros_tpu.models import robust
     from dpgo_ros_tpu.utils.config import AgentConfig, RobustCostType
 
